@@ -1,0 +1,48 @@
+"""Data-parallel PPO training over a device mesh via shard_map.
+
+Each shard steps its slice of the env batch and computes local gradients;
+psum over the "env" mesh axis (riding ICI) reduces gradients and KL metrics
+— the TPU-native analog of rl-games' Horovod allreduce
+(/root/reference/bez_isaacgym/utils/rlgames_utils.py:71-81).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from bez_isaacgym_tpu.parallel.mesh import ENV_AXIS
+from bez_isaacgym_tpu.rl.ppo import PPOConfig, make_ppo
+from bez_isaacgym_tpu.tasks.base import BezTask
+
+
+def data_parallel_ppo(task: BezTask, num_envs: int, mesh,
+                      cfg: PPOConfig = PPOConfig()):
+    """Returns (init_fn, train_iter, act_fn) with the env axis sharded over
+    `mesh` and gradients psum-reduced per minibatch.
+
+    num_envs is the *global* env count; it must divide by the mesh size.
+    The per-shard minibatch is scaled so the global effective minibatch
+    matches cfg.minibatch_size.
+    """
+    n_shards = mesh.devices.size
+    assert num_envs % n_shards == 0, (num_envs, n_shards)
+    local_cfg = PPOConfig(**{
+        **cfg.__dict__,
+        "minibatch_size": max(1, cfg.minibatch_size // n_shards),
+    })
+    init_fn, train_iter, act_fn = make_ppo(task, num_envs // n_shards,
+                                           local_cfg, axis_name=ENV_AXIS)
+
+    ts_spec = P()          # replicated train state
+    env_spec = P(ENV_AXIS)  # sharded env batch
+
+    sharded_train = shard_map(
+        train_iter, mesh=mesh,
+        in_specs=(ts_spec, env_spec, env_spec),
+        out_specs=(ts_spec, env_spec, env_spec, ts_spec),
+        check_rep=False,
+    )
+
+    return init_fn, jax.jit(sharded_train), act_fn

@@ -1,0 +1,86 @@
+"""Actor-critic network + running normalization.
+
+Parity with the reference rl-games model spec
+(/root/reference/bez_isaacgym/cfg/train/bez_kickPPO.yaml): shared MLP
+[400, 200, 100], ELU, continuous head with state-independent log-std
+initialized to 0 (`fixed_sigma: True`, sigma_init 0, :14-28), input and value
+running normalization (:51-52).
+
+The MLP is sized for the MXU: batched over thousands of envs the three
+matmuls dominate and XLA fuses the ELUs into them.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+F32 = jnp.float32
+
+
+class ActorCritic(nn.Module):
+    num_actions: int
+    units: Sequence[int] = (400, 200, 100)
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs
+        for u in self.units:
+            x = nn.elu(nn.Dense(u)(x))
+        mu = nn.Dense(self.num_actions)(x)
+        value = nn.Dense(1)(x)[..., 0]
+        log_std = self.param("log_std", nn.initializers.zeros,
+                             (self.num_actions,))
+        return mu, jnp.broadcast_to(log_std, mu.shape), value
+
+
+class RunningMeanStd(NamedTuple):
+    """Streaming mean/var (rl-games running_mean_std parity)."""
+
+    mean: jnp.ndarray
+    var: jnp.ndarray
+    count: jnp.ndarray
+
+    @staticmethod
+    def create(shape=()) -> "RunningMeanStd":
+        return RunningMeanStd(mean=jnp.zeros(shape, F32),
+                              var=jnp.ones(shape, F32),
+                              count=jnp.asarray(1e-4, F32))
+
+    def update(self, batch: jnp.ndarray) -> "RunningMeanStd":
+        """Merge batch moments (batch axis 0 ... -2) via Chan's algorithm."""
+        axes = tuple(range(batch.ndim - self.mean.ndim))
+        b_mean = jnp.mean(batch, axis=axes)
+        b_var = jnp.var(batch, axis=axes)
+        b_count = jnp.asarray(batch.size / max(1, self.mean.size), F32)
+        delta = b_mean - self.mean
+        tot = self.count + b_count
+        new_mean = self.mean + delta * b_count / tot
+        m_a = self.var * self.count
+        m_b = b_var * b_count
+        m2 = m_a + m_b + delta * delta * self.count * b_count / tot
+        return RunningMeanStd(mean=new_mean, var=m2 / tot, count=tot)
+
+    def normalize(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.clip((x - self.mean) * jax.lax.rsqrt(self.var + 1e-5),
+                        -5.0, 5.0)
+
+    def denormalize(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x * jnp.sqrt(self.var + 1e-5) + self.mean
+
+
+def gaussian_logp(mu, log_std, action):
+    """Diagonal Gaussian log-density."""
+    var = jnp.exp(2.0 * log_std)
+    return jnp.sum(-0.5 * ((action - mu) ** 2) / var - log_std
+                   - 0.5 * jnp.log(2.0 * jnp.pi), axis=-1)
+
+
+def gaussian_kl(mu1, log_std1, mu2, log_std2):
+    """KL(p1 || p2) between diagonal Gaussians (rl-games adaptive-LR metric)."""
+    v1, v2 = jnp.exp(2.0 * log_std1), jnp.exp(2.0 * log_std2)
+    return jnp.sum(log_std2 - log_std1
+                   + (v1 + (mu1 - mu2) ** 2) / (2.0 * v2) - 0.5, axis=-1)

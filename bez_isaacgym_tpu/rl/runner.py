@@ -1,0 +1,110 @@
+"""Training runner: wires config -> task -> PPO -> checkpoints/metrics.
+
+Replaces the reference Runner stack (train.py:60-113, utils/torch_runner.py):
+build the task, init or restore the train state, loop train_iter with
+periodic checkpointing (save_frequency/save_best_after,
+bez_kickPPO.yaml:65-66) and metric logging.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bez_isaacgym_tpu.rl.ppo import make_ppo
+from bez_isaacgym_tpu.tasks.registry import make_task
+from bez_isaacgym_tpu.utils import checkpoint as ckpt
+from bez_isaacgym_tpu.utils.config import RunConfig, pretty
+from bez_isaacgym_tpu.utils.metrics import MetricsLogger
+
+
+class Runner:
+
+    def __init__(self, cfg: RunConfig):
+        self.cfg = cfg
+        self.task = make_task(cfg.task, cfg.resolved_task_cfg())
+        self.run_dir = os.path.join(cfg.output_dir, cfg.name)
+
+        if cfg.multi_chip and len(jax.devices()) > 1:
+            from bez_isaacgym_tpu.parallel.dp import data_parallel_ppo
+            from bez_isaacgym_tpu.parallel.mesh import env_mesh
+            self.mesh = env_mesh()
+            self.init_fn, self.train_iter, self.act_fn = data_parallel_ppo(
+                self.task, cfg.num_envs, self.mesh, cfg.train)
+        else:
+            self.mesh = None
+            init_fn, train_iter, self.act_fn = make_ppo(
+                self.task, cfg.num_envs, cfg.train)
+            self.init_fn, self.train_iter = init_fn, jax.jit(train_iter)
+
+    def _init_states(self):
+        cfg = self.cfg
+        ts = self.init_fn(jax.random.PRNGKey(cfg.seed))
+        keys = jax.random.split(jax.random.PRNGKey(cfg.seed + 1), cfg.num_envs)
+        env_state = jax.jit(jax.vmap(self.task.reset_one))(keys)
+        obs = jnp.zeros((cfg.num_envs, self.task.num_obs), jnp.float32)
+        if self.mesh is not None:
+            from bez_isaacgym_tpu.parallel.mesh import env_sharding, replicated
+            ts = jax.device_put(ts, replicated(self.mesh))
+            env_state = jax.device_put(env_state, env_sharding(self.mesh))
+            obs = jax.device_put(obs, env_sharding(self.mesh))
+        if cfg.checkpoint:
+            ts = ckpt.restore(cfg.checkpoint, ts)
+            print(f"restored checkpoint {cfg.checkpoint}")
+        return ts, env_state, obs
+
+    def train(self, max_iterations: int | None = None):
+        cfg = self.cfg
+        print(pretty(cfg))
+        logger = MetricsLogger(self.run_dir)
+        ts, env_state, obs = self._init_states()
+
+        frames_per_iter = cfg.num_envs * cfg.train.horizon
+        best_reward = -np.inf
+        iters = max_iterations or cfg.max_iterations
+        for it in range(1, iters + 1):
+            ts, env_state, obs, metrics = self.train_iter(ts, env_state, obs)
+            if it % cfg.log_frequency == 0 or it == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                logger.log(it, it * frames_per_iter, m)
+                print(f"iter {it}: reward/step {m['reward_mean']:.4f} "
+                      f"kl {m['kl']:.4f} lr {m['lr']:.2e} "
+                      f"done% {100 * m['done_frac']:.1f}")
+            reward = float(metrics["reward_mean"])
+            if it % cfg.save_frequency == 0 or (
+                    it > cfg.save_best_after and reward > best_reward):
+                if reward > best_reward:
+                    best_reward = reward
+                path = os.path.join(
+                    self.run_dir, ckpt.checkpoint_name(cfg.name, it, reward))
+                ckpt.save(path, ts)
+        logger.close()
+        return ts
+
+    def play(self, num_steps: int = 600, deterministic: bool = True):
+        """Checkpoint inference loop (play.py:125-236 parity)."""
+        cfg = self.cfg
+        ts, env_state, obs = self._init_states()
+        step = jax.jit(jax.vmap(self.task.step_one))
+        act = jax.jit(lambda ts, o: self.act_fn(ts, o,
+                                                deterministic=deterministic))
+        total_reward = np.zeros(cfg.num_envs)
+        episodes = 0
+        ep_reward_sum = 0.0
+        for _ in range(num_steps):
+            actions = act(ts, obs)
+            out = step(env_state, actions)
+            env_state, obs = out.state, out.obs
+            r = np.asarray(out.reward)
+            d = np.asarray(out.done)
+            total_reward += r
+            ep_reward_sum += float(total_reward[d].sum())
+            episodes += int(d.sum())
+            total_reward[d] = 0.0
+        mean_ep = ep_reward_sum / max(1, episodes)
+        print(f"played {num_steps} steps, {episodes} episodes, "
+              f"mean episode reward {mean_ep:.2f}")
+        return mean_ep

@@ -1,0 +1,255 @@
+"""Task base: pure-functional env machinery shared by all Bez tasks.
+
+Functional redesign of the reference `VecTask` template
+(/root/reference/bez_isaacgym/tasks/base/vec_task.py:148-457):
+
+- the step pipeline (vec_task.py:303-349) becomes a pure function
+  step_one(state, action) -> (state', obs, reward, done, info);
+- vectorized partial resets via indexed GPU writes (kick_env.py:779-850)
+  become branch-free `where`-masked state substitution under vmap;
+- buffers (obs/rew/reset/progress, vec_task.py:226-249) become fields of an
+  immutable EnvState pytree.
+
+Ordering parity with the reference step: physics advances first, done envs
+are then re-initialized, and obs/reward are computed on the post-reset state
+with progress=0 (post_physics_step, kick_env.py:426-438).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bez_isaacgym_tpu.models import bez
+from bez_isaacgym_tpu.models.robot import DynParams, RobotModel
+from bez_isaacgym_tpu.ops import sensors
+from bez_isaacgym_tpu.ops.engine import (PhysicsState, SceneConfig,
+                                         default_state, make_step_fn)
+
+F32 = jnp.float32
+
+
+@dataclass(frozen=True)
+class DomainRandConfig:
+    """Domain-randomization spec (bez_kick.yaml:151-219, vec_task.py:505-725).
+
+    Ranges follow the reference: obs/action additive gaussian noise,
+    mass/friction/gain scaling at reset, additive gravity noise.  Schedules
+    ramp linearly over `schedule_steps` global env steps.
+    """
+
+    enabled: bool = False
+    obs_noise_std: float = 0.002
+    action_noise_std: float = 0.02
+    gravity_noise_std: float = 0.4
+    mass_scale_range: tuple[float, float] = (0.5, 1.5)
+    friction_scale_range: tuple[float, float] = (0.7, 1.3)
+    kp_scale_range: tuple[float, float] = (0.5, 1.5)
+    kd_scale_range: tuple[float, float] = (0.5, 1.5)
+    schedule_steps: int = 3000
+
+
+@dataclass(frozen=True)
+class TaskConfig:
+    """Common task knobs (cfg/task/*.yaml)."""
+
+    episode_length_s: float = 15.0        # bez_kick.yaml:107
+    clip_actions: float = 3.9             # bez_kick.yaml:11
+    dt: float = 1.0 / 60.0                # bez_kick.yaml:129
+    substeps: int = 4                     # ours; reference PhysX uses 2
+    control_freq_inv: int = 1             # bez_kick.yaml:38
+    stiffness: float = 100.0              # bez_kick.yaml:35
+    damping: float = 7.5                  # bez_kick.yaml:36
+    cleats: bool = False                  # bez_kick.yaml:122
+    stl: bool = True                      # bez_kick.yaml:123
+    plane_static_friction: float = 1.0    # bez_kick.yaml:14
+    plane_restitution: float = 0.0
+    bez_init_pos: tuple = (0.0, 0.0, 0.34)   # bez_kick.yaml:19
+    bez_init_rot: tuple = (0.0, 0.0, 0.0, 1.0)
+    ball_init_pos: tuple = (0.175, 0.0, 0.1)  # bez_kick.yaml:25
+    ball_init_vel: tuple = (0.0, 0.0, 0.0)
+    goal: tuple = (1.5, 0.0)              # bez_kick.yaml:31
+    goal_angle: float = 1.5708            # bez_orient.yaml:26
+    reset_dof_pos_noise: float = 0.15     # kick_env.py:786
+    reset_dof_vel_noise: float = 0.1      # kick_env.py:787
+    dr: DomainRandConfig = field(default_factory=DomainRandConfig)
+
+    @property
+    def max_episode_length(self) -> int:
+        # kick_env.py:127
+        return int(self.episode_length_s / self.dt + 0.5)
+
+
+class EnvState(NamedTuple):
+    """Single-env task state (a pytree; vmapped over the env axis)."""
+
+    physics: PhysicsState
+    dyn: DynParams                 # per-env (DR-randomized) dynamics params
+    prev_lin_vel: jnp.ndarray      # (3,) IMU finite-difference memory
+    progress: jnp.ndarray          # () int32 steps since reset
+    done: jnp.ndarray              # () bool, produced by the previous step
+    goal: jnp.ndarray              # (2,)
+    goal_angle: jnp.ndarray        # () f32
+    ball_init: jnp.ndarray         # (2,)
+    key: jnp.ndarray               # PRNG key
+
+
+class StepOutput(NamedTuple):
+    state: EnvState
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    time_out: jnp.ndarray
+
+
+def _model_variant(cfg: TaskConfig) -> str:
+    if cfg.stl:
+        return "stl_sensor" if cfg.cleats else "stl"
+    return "box_sensor" if cfg.cleats else "box"
+
+
+class BezTask:
+    """Base class: owns the static model + scene and the pure step logic.
+
+    Subclasses define num_obs / has_ball / observe() / reward_done().
+    """
+
+    num_actions: int = bez.NUM_JOINTS
+    num_obs: int = 54
+    has_ball: bool = True
+
+    def __init__(self, cfg: TaskConfig):
+        self.cfg = cfg
+        self.model: RobotModel = bez.load_bez_model(_model_variant(cfg))
+        self.scene = SceneConfig(dt=cfg.dt, substeps=cfg.substeps,
+                                 has_ball=self.has_ball)
+        self.base_params = jax.tree.map(
+            jnp.asarray,
+            bez.default_dyn_params(self.model,
+                                   ground_friction=cfg.plane_static_friction,
+                                   restitution=cfg.plane_restitution))
+        self.base_params = self.base_params._replace(
+            kp=jnp.full(self.model.nq, cfg.stiffness, F32),
+            kd=jnp.full(self.model.nq, cfg.damping, F32))
+        self.default_dof_pos = jnp.asarray(
+            bez.pose_vector(self.model, bez.READY_JOINT_ANGLES), F32)
+        self.dof_lower = jnp.asarray(self.model.dof_lower, F32)
+        self.dof_upper = jnp.asarray(self.model.dof_upper, F32)
+        self._step_physics = make_step_fn(self.model, self.scene)
+        lf = self.model.body_index("left_foot")
+        rf = self.model.body_index("right_foot")
+        self._foot_bodies = (lf, rf)
+
+    # ------------------------------------------------------------------ reset
+    def _sample_dyn(self, key) -> DynParams:
+        """Per-env dynamics randomization at reset (vec_task.py:620-713)."""
+        p = self.base_params
+        dr = self.cfg.dr
+        if not dr.enabled:
+            return p
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        mass = jax.random.uniform(k1, (self.model.nb,), F32,
+                                  *dr.mass_scale_range)
+        fric = jax.random.uniform(k2, (), F32, *dr.friction_scale_range)
+        kp = jax.random.uniform(k3, (self.model.nq,), F32, *dr.kp_scale_range)
+        kd = jax.random.uniform(k4, (self.model.nq,), F32, *dr.kd_scale_range)
+        grav = dr.gravity_noise_std * jax.random.normal(k5, (3,), F32)
+        return p._replace(
+            mass_scale=p.mass_scale * mass,
+            ground_friction=p.ground_friction * fric,
+            kp=p.kp * kp, kd=p.kd * kd,
+            gravity=p.gravity + grav)
+
+    def reset_one(self, key) -> EnvState:
+        """Fresh env state with reference reset noise (kick_env.py:786-791)."""
+        cfg = self.cfg
+        k_pos, k_vel, k_dyn, k_task, k_next = jax.random.split(key, 5)
+        q = self.default_dof_pos + jax.random.uniform(
+            k_pos, (self.model.nq,), F32,
+            -cfg.reset_dof_pos_noise, cfg.reset_dof_pos_noise)
+        q = jnp.clip(q, self.dof_lower, self.dof_upper)
+        qd = jax.random.uniform(k_vel, (self.model.nq,), F32,
+                                -cfg.reset_dof_vel_noise, cfg.reset_dof_vel_noise)
+        physics = default_state(self.model, self.scene, q, cfg.bez_init_pos,
+                                cfg.bez_init_rot, ball_pos=cfg.ball_init_pos)
+        physics = physics._replace(
+            qd=qd, ball_vel=jnp.asarray(cfg.ball_init_vel, F32))
+        state = EnvState(
+            physics=physics,
+            dyn=self._sample_dyn(k_dyn),
+            prev_lin_vel=jnp.zeros(3, F32),
+            progress=jnp.zeros((), jnp.int32),
+            done=jnp.zeros((), bool),
+            goal=jnp.asarray(cfg.goal, F32),
+            goal_angle=jnp.asarray(cfg.goal_angle, F32),
+            ball_init=jnp.asarray(cfg.ball_init_pos[:2], F32),
+            key=k_next,
+        )
+        return self.task_reset(state, k_task)
+
+    def task_reset(self, state: EnvState, key) -> EnvState:
+        """Task-specific goal resampling hook (walk_env.py:570-574)."""
+        return state
+
+    # ------------------------------------------------------------- step logic
+    def step_one(self, state: EnvState, action: jnp.ndarray) -> StepOutput:
+        cfg = self.cfg
+        key, k_act, k_obs, k_reset = jax.random.split(state.key, 4)
+
+        # Action pipeline (vec_task.py:314-318, kick_env.py:410-419).
+        if cfg.dr.enabled:
+            action = action + cfg.dr.action_noise_std * jax.random.normal(
+                k_act, action.shape, F32)
+        action = jnp.clip(action, -cfg.clip_actions, cfg.clip_actions)
+        action = action.at[0:2].set(0.0)  # head motors zeroed
+        targets = jnp.clip(action + self.default_dof_pos,
+                           self.dof_lower, self.dof_upper)
+
+        physics = state.physics
+        for _ in range(cfg.control_freq_inv):
+            physics = self._step_physics(state.dyn, physics, targets)
+        stepped = state._replace(physics=physics,
+                                 progress=state.progress + 1, key=key)
+
+        # Auto-reset of envs flagged done by the previous step
+        # (post_physics_step order: kick_env.py:429-438).
+        fresh = self.reset_one(k_reset)
+        state2 = jax.tree.map(lambda a, b: jnp.where(state.done, a, b),
+                              fresh, stepped)
+
+        obs, state3 = self.observe(state2, action)
+        if cfg.dr.enabled:
+            obs = obs + cfg.dr.obs_noise_std * jax.random.normal(
+                k_obs, obs.shape, F32)
+        reward, done = self.reward_done(state3, action)
+        time_out = state3.progress >= cfg.max_episode_length - 1
+        state4 = state3._replace(done=done)
+        return StepOutput(state=state4, obs=obs, reward=reward, done=done,
+                          time_out=time_out)
+
+    # ----------------------------------------------------------- observations
+    def _imu_and_heading(self, state: EnvState):
+        """IMU + heading obs; the IMU link is the torso (kick_env.py:174-177)."""
+        ph = state.physics
+        imu, new_prev = sensors.compute_imu(
+            ph.base_quat, ph.base_u[0:3], ph.base_u[3:6],
+            state.prev_lin_vel, self.cfg.dt)
+        return imu, new_prev
+
+    def _feet(self, state: EnvState) -> jnp.ndarray:
+        ph = state.physics
+        if self.cfg.cleats:
+            return sensors.feet_sensors_cleats(ph.sensor_normal)
+        lf, rf = self._foot_bodies
+        return sensors.feet_sensors_no_cleats(
+            ph.body_contact_force[lf], ph.body_contact_force[rf])
+
+    def observe(self, state: EnvState, action) -> tuple[jnp.ndarray, EnvState]:
+        raise NotImplementedError
+
+    def reward_done(self, state: EnvState, action):
+        raise NotImplementedError

@@ -1,0 +1,84 @@
+"""RobotModel construction tests (URDF parity facts cited from reference)."""
+
+import numpy as np
+import pytest
+
+from bez_isaacgym_tpu.models.bez import (FOOT_SENSOR_MAP, Joints,
+                                         READY_JOINT_ANGLES, load_bez_model,
+                                         pose_vector)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return load_bez_model("box_sensor")
+
+
+def test_dof_order_matches_reference_enum(model):
+    # kick_env.py:23-41
+    assert model.joint_names[Joints.HEAD_1] == "head_motor_0"
+    assert model.joint_names[Joints.HEAD_2] == "head_motor_1"
+    assert model.joint_names[Joints.LEFT_ARM_1] == "left_arm_motor_0"
+    assert model.joint_names[Joints.LEFT_LEG_1] == "left_leg_motor_0"
+    assert model.joint_names[Joints.RIGHT_ARM_1] == "right_arm_motor_0"
+    assert model.joint_names[Joints.RIGHT_LEG_6] == "right_leg_motor_5"
+
+
+def test_topology(model):
+    assert model.nb == 19 and model.nq == 18
+    assert model.parent[0] == -1
+    assert all(model.parent[1:] < np.arange(1, model.nb))
+    # left leg chain: torso -> hip_side -> hip_front -> thigh -> calve -> ankle -> foot
+    chain = ["left_hip_side", "left_hip_front", "left_thigh",
+             "left_calve", "left_ankle", "left_foot"]
+    idx = [model.body_index(n) for n in chain]
+    for a, b in zip(idx, idx[1:]):
+        assert model.parent[b] == a
+
+
+def test_mass_properties(model):
+    # torso 1.529 kg (soccerbot_box_sensor.urdf:33) + 0.01 kg imu_link
+    # merged in; total ~2.868 kg incl. 8x5g cleats merged into the feet.
+    assert abs(model.mass[model.body_index("torso")] - 1.539) < 1e-6
+    assert abs(model.mass.sum() - 2.867994) < 1e-5
+    foot = model.body_index("left_foot")
+    assert abs(model.mass[foot] - (0.023216 + 4 * 0.005)) < 1e-6
+    # inertia symmetric PSD
+    for I in model.inertia:
+        np.testing.assert_allclose(I, I.T, atol=1e-12)
+        assert np.all(np.linalg.eigvalsh(I) >= -1e-12)
+
+
+def test_joint_limits(model):
+    # URDF: left_leg_motor_3 in [-2.793, 0] (soccerbot_box_sensor.urdf:470)
+    j = model.joint_index("left_leg_motor_3")
+    assert abs(model.dof_lower[j] + 2.793) < 1e-9
+    assert abs(model.dof_upper[j]) < 1e-9
+    # arm effort 1.5, leg effort 2.5
+    assert abs(model.dof_effort[model.joint_index("left_arm_motor_0")] - 1.5) < 1e-9
+    assert abs(model.dof_effort[model.joint_index("left_leg_motor_0")] - 2.5) < 1e-9
+
+
+def test_sites_and_sensors(model):
+    assert "imu_link" in model.sites
+    assert model.sites["imu_link"].body == model.body_index("torso")
+    np.testing.assert_allclose(model.sites["imu_link"].pos, 0.0, atol=1e-12)
+    for name, slot in FOOT_SENSOR_MAP.items():
+        assert name in model.sites
+    # 8 cleats x 8 corners of sensor contact points
+    assert (model.cpoint_sensor >= 0).sum() == 64
+    slots = sorted(set(model.cpoint_sensor[model.cpoint_sensor >= 0]))
+    assert slots == list(range(8))
+
+
+def test_ready_pose_vector(model):
+    q = pose_vector(model, READY_JOINT_ANGLES)
+    assert abs(q[Joints.LEFT_LEG_4] + 1.176) < 1e-9  # left_leg_motor_3
+    assert abs(q[Joints.RIGHT_ARM_2] - 1.5) < 1e-9
+    assert abs(q[Joints.HEAD_1]) < 1e-9
+
+
+def test_stl_variant_loads():
+    m = load_bez_model("stl")
+    assert m.nq == 18
+    # mesh collisions are skipped: only leg/feet boxes remain
+    assert len(m.box_body) == 12

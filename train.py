@@ -1,0 +1,24 @@
+#!/usr/bin/env python3
+"""Train CLI (reference parity: bez_isaacgym/train.py).
+
+    python train.py task=bez_kick num_envs=4096 seed=42
+    python train.py task=bez_walk test=True checkpoint=runs/.../x.ckpt
+"""
+
+import sys
+
+from bez_isaacgym_tpu.rl.runner import Runner
+from bez_isaacgym_tpu.utils.config import parse_overrides
+
+
+def main(argv):
+    cfg = parse_overrides(argv)
+    runner = Runner(cfg)
+    if cfg.test:
+        runner.play()
+    else:
+        runner.train()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
