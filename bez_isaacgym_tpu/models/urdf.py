@@ -93,6 +93,55 @@ class RobotSpec:
             raise ValueError(f"expected one root link, got {roots}")
         return roots[0]
 
+    # -- URDF export ---------------------------------------------------------
+    def to_urdf(self) -> str:
+        """Emit URDF XML (for interop and the native compiler round-trip)."""
+        out = ['<?xml version="1.0"?>', f'<robot name="{self.name}">']
+        for l in self.links:
+            out.append(f'  <link name="{l.name}">')
+            out.append('    <inertial>')
+            out.append(f'      <origin xyz="{l.com_xyz[0]} {l.com_xyz[1]} '
+                       f'{l.com_xyz[2]}" rpy="{l.com_rpy[0]} {l.com_rpy[1]} '
+                       f'{l.com_rpy[2]}"/>')
+            out.append(f'      <mass value="{l.mass}"/>')
+            i = l.inertia
+            out.append(f'      <inertia ixx="{i[0]}" ixy="{i[1]}" ixz="{i[2]}"'
+                       f' iyy="{i[3]}" iyz="{i[4]}" izz="{i[5]}"/>')
+            out.append('    </inertial>')
+            for g in l.collisions:
+                out.append('    <collision>')
+                out.append(f'      <origin xyz="{g.origin_xyz[0]} '
+                           f'{g.origin_xyz[1]} {g.origin_xyz[2]}" '
+                           f'rpy="{g.origin_rpy[0]} {g.origin_rpy[1]} '
+                           f'{g.origin_rpy[2]}"/>')
+                out.append('      <geometry>')
+                if g.kind == "box":
+                    out.append(f'        <box size="{g.size[0]} {g.size[1]} '
+                               f'{g.size[2]}"/>')
+                elif g.kind == "sphere":
+                    out.append(f'        <sphere radius="{g.size[0]}"/>')
+                elif g.kind == "cylinder":
+                    out.append(f'        <cylinder radius="{g.size[0]}" '
+                               f'length="{g.size[1]}"/>')
+                elif g.kind == "mesh":
+                    out.append(f'        <mesh filename="{g.mesh}"/>')
+                out.append('      </geometry>')
+                out.append('    </collision>')
+            out.append('  </link>')
+        for j in self.joints:
+            out.append(f'  <joint name="{j.name}" type="{j.kind}">')
+            out.append(f'    <parent link="{j.parent}"/>')
+            out.append(f'    <child link="{j.child}"/>')
+            out.append(f'    <origin xyz="{j.origin_xyz[0]} {j.origin_xyz[1]} '
+                       f'{j.origin_xyz[2]}" rpy="{j.origin_rpy[0]} '
+                       f'{j.origin_rpy[1]} {j.origin_rpy[2]}"/>')
+            out.append(f'    <axis xyz="{j.axis[0]} {j.axis[1]} {j.axis[2]}"/>')
+            out.append(f'    <limit lower="{j.lower}" upper="{j.upper}" '
+                       f'effort="{j.effort}" velocity="{j.velocity}"/>')
+            out.append('  </joint>')
+        out.append('</robot>')
+        return "\n".join(out)
+
     # -- JSON round-trip (canonical on-disk asset format) --------------------
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=1)
