@@ -34,11 +34,11 @@ def main():
         lambda x: jnp.broadcast_to(x, (num_solves,) + x.shape),
         solver.init_state())
 
-    solve = jax.jit(jax.vmap(solver.solve))
+    solve = jax.jit(solver.solve)
 
-    skeys = jax.random.split(jax.random.PRNGKey(1), num_solves)
     t0 = time.time()
-    action, mppi_state, info = solve(env_state, mppi_state, skeys)
+    action, mppi_state, info = solve(env_state, mppi_state,
+                                     jax.random.PRNGKey(1))
     jax.block_until_ready(action)
     compile_s = time.time() - t0
 
@@ -46,9 +46,9 @@ def main():
     lat = []
     iters = 10
     for i in range(iters):
-        skeys = jax.random.split(jax.random.PRNGKey(2 + i), num_solves)
         t0 = time.time()
-        action, mppi_state, info = solve(env_state, mppi_state, skeys)
+        action, mppi_state, info = solve(env_state, mppi_state,
+                                         jax.random.PRNGKey(2 + i))
         jax.block_until_ready(action)
         lat.append(time.time() - t0)
 

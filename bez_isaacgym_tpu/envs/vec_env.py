@@ -34,7 +34,7 @@ class VecEnv:
 
         self._sharding = sharding
         self._reset_fn = jax.jit(jax.vmap(task.reset_one))
-        self._step_fn = jax.jit(jax.vmap(task.step_one))
+        self._step_fn = jax.jit(task.step_batch)
         self._key = jax.random.PRNGKey(seed)
         self.state = None
 

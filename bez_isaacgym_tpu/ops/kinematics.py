@@ -100,25 +100,21 @@ def com_jacobians(model: RobotModel, frames: BodyFrames,
     v_com_i = J_lin[i] @ u and w_i = J_ang[i] @ u.
     """
     nb, nq = model.nb, model.nq
-    nv = 6 + nq
     dtype = frames.com.dtype
     m = jnp.asarray(mask, dtype=dtype)                  # (nb, nq)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (nb, 3, 3))
 
     # Angular: base w columns = I; joint columns = axis * mask.
-    J_ang = jnp.zeros((nb, 3, nv), dtype=dtype)
-    J_ang = J_ang.at[:, :, 3:6].set(jnp.eye(3, dtype=dtype))
-    J_ang = J_ang.at[:, :, 6:].set(
-        jnp.einsum("da,bd->bad", frames.axis_w, m))
+    zero3 = jnp.zeros((nb, 3, 3), dtype=dtype)
+    ang_joints = jnp.einsum("da,bd->bad", frames.axis_w, m)
+    J_ang = jnp.concatenate([zero3, eye, ang_joints], axis=-1)
 
     # Linear: v_com = v0 + w x (c - p0) + sum_j qd_j * a_j x (c - p_j).
-    J_lin = jnp.zeros((nb, 3, nv), dtype=dtype)
-    J_lin = J_lin.at[:, :, 0:3].set(jnp.eye(3, dtype=dtype))
     r0 = frames.com - frames.pos[0]                     # (nb,3)
-    J_lin = J_lin.at[:, :, 3:6].set(-_skew(r0))
     arm = frames.com[:, None, :] - frames.anchor[None, :, :]   # (nb,nq,3)
     lever = jnp.cross(frames.axis_w[None, :, :], arm)          # (nb,nq,3)
-    J_lin = J_lin.at[:, :, 6:].set(
-        jnp.einsum("bda,bd->bad", lever, m))
+    lin_joints = jnp.einsum("bda,bd->bad", lever, m)
+    J_lin = jnp.concatenate([eye, -_skew(r0), lin_joints], axis=-1)
     return J_lin, J_ang
 
 

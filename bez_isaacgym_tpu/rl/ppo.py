@@ -131,7 +131,7 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
             action = mu + jnp.exp(log_std) * eps
             logp = gaussian_logp(mu, log_std, action)
             env_action = action_limit * jnp.clip(action, -1.0, 1.0)
-            out = jax.vmap(task.step_one)(env_s, env_action)
+            out = task.step_batch(env_s, env_action)
             tr = Transition(obs=obs, action=action, logp=logp, value=value,
                             reward=out.reward, done=out.done,
                             time_out=out.time_out, mu=mu, log_std=log_std)

@@ -88,7 +88,7 @@ class Runner:
         """Checkpoint inference loop (play.py:125-236 parity)."""
         cfg = self.cfg
         ts, env_state, obs = self._init_states()
-        step = jax.jit(jax.vmap(self.task.step_one))
+        step = jax.jit(self.task.step_batch)
         act = jax.jit(lambda ts, o: self.act_fn(ts, o,
                                                 deterministic=deterministic))
         total_reward = np.zeros(cfg.num_envs)

@@ -1,0 +1,172 @@
+"""SQP / iLQR Gauss-Newton trajectory optimizer.
+
+The second stage of the north-star hybrid solver (BASELINE.json): refine a
+nominal action sequence (typically MPPI's or the classical walking engine's
+output) by linearizing the differentiable physics along the trajectory
+(forward-mode autodiff through ops.engine) and running a Riccati backward
+pass + line-searched forward pass.  Everything is batched over S parallel
+solves; the per-step Riccati recursion is a `lax.scan` over the horizon with
+(nx+nu)-sized blocks sized for the MXU.
+
+The physics step's compliant contacts and regularized friction are smooth,
+so the linearization is well-defined everywhere (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bez_isaacgym_tpu.ops.engine import PhysicsState
+from bez_isaacgym_tpu.tasks.base import BezTask, EnvState
+
+F32 = jnp.float32
+
+# Flattened physics-state layout (ball quat omitted: irrelevant to costs).
+_FIELDS = (("q", 18), ("qd", 18), ("base_pos", 3), ("base_quat", 4),
+           ("base_u", 6), ("ball_pos", 3), ("ball_vel", 3), ("ball_ang", 3))
+NX = sum(n for _, n in _FIELDS)   # 58
+
+
+def flatten_physics(ph: PhysicsState) -> jnp.ndarray:
+    return jnp.concatenate([getattr(ph, name).reshape(-1)
+                            for name, _ in _FIELDS])
+
+
+def unflatten_physics(x: jnp.ndarray, template: PhysicsState) -> PhysicsState:
+    out = template
+    i = 0
+    for name, n in _FIELDS:
+        out = out._replace(**{name: x[i:i + n].astype(F32)})
+        i += n
+    return out
+
+
+@dataclass(frozen=True)
+class SQPConfig:
+    horizon: int = 16
+    iterations: int = 3
+    reg: float = 1e-3              # Levenberg-Marquardt regularization
+    line_search: tuple = (1.0, 0.5, 0.25, 0.1)
+    u_clip: float = 3.9
+
+
+class SQPState(NamedTuple):
+    nominal: jnp.ndarray           # (H, nu)
+
+
+class SQPSolver:
+    """Batched iLQR: solve(env_states, sqp_states) -> refined first actions."""
+
+    def __init__(self, task: BezTask, cfg: SQPConfig = SQPConfig()):
+        self.task = task
+        self.cfg = cfg
+        self.nu = task.num_actions
+
+    def init_state(self) -> SQPState:
+        return SQPState(nominal=jnp.zeros((self.cfg.horizon, self.nu), F32))
+
+    # -- single-env step/cost in flattened coordinates ----------------------
+    def _f(self, env_state: EnvState, x: jnp.ndarray, u: jnp.ndarray):
+        task = self.task
+        ph = unflatten_physics(x, env_state.physics)
+        uc = jnp.clip(u, -self.cfg.u_clip, self.cfg.u_clip).at[0:2].set(0.0)
+        targets = jnp.clip(uc + task.default_dof_pos,
+                           task.dof_lower, task.dof_upper)
+        ph2 = task._step_physics(env_state.dyn, ph, targets)
+        return flatten_physics(ph2)
+
+    def _cost(self, env_state: EnvState, x: jnp.ndarray, u: jnp.ndarray):
+        ph = unflatten_physics(x, env_state.physics)
+        s = env_state._replace(physics=ph)
+        reward, _ = self.task.reward_done(s, u)
+        return -reward
+
+    def _rollout_cost(self, env_state: EnvState, U: jnp.ndarray):
+        """Total cost of a (H,nu) sequence from env_state (single env)."""
+        def body(x, u):
+            x2 = self._f(env_state, x, u)
+            return x2, self._cost(env_state, x2, u)
+
+        x0 = flatten_physics(env_state.physics)
+        _, costs = jax.lax.scan(body, x0, U)
+        return costs.sum()
+
+    def _solve_one(self, env_state: EnvState, U: jnp.ndarray):
+        cfg = self.cfg
+        x0 = flatten_physics(env_state.physics)
+
+        def rollout(U):
+            def body(x, u):
+                x2 = self._f(env_state, x, u)
+                return x2, x
+            xH, xs = jax.lax.scan(body, x0, U)
+            return xs  # (H, nx) states *before* each action
+
+        def one_iteration(U, _):
+            xs = rollout(U)
+
+            # Linearize dynamics + quadraticize cost along the nominal.
+            def lin(x, u):
+                A = jax.jacfwd(lambda xx: self._f(env_state, xx, u))(x)
+                Bm = jax.jacfwd(lambda uu: self._f(env_state, x, uu))(u)
+                cx = jax.grad(lambda xx: self._cost(env_state, xx, u))(x)
+                cu = jax.grad(lambda uu: self._cost(env_state, x, uu))(u)
+                return A, Bm, cx, cu
+
+            A, Bm, cx, cu = jax.vmap(lin)(xs, U)
+
+            # Riccati backward pass (Gauss-Newton: value Hessian from the
+            # LM-regularized linear model).
+            def backward(carry, inp):
+                Vx, Vxx = carry
+                A_t, B_t, cx_t, cu_t = inp
+                Qx = cx_t + A_t.T @ Vx
+                Qu = cu_t + B_t.T @ Vx
+                Qxx = A_t.T @ Vxx @ A_t + cfg.reg * jnp.eye(NX, dtype=F32)
+                Quu = B_t.T @ Vxx @ B_t + cfg.reg * jnp.eye(self.nu, dtype=F32)
+                Qux = B_t.T @ Vxx @ A_t
+                Quu_inv = jnp.linalg.inv(Quu)
+                k = -Quu_inv @ Qu
+                K = -Quu_inv @ Qux
+                Vx_new = Qx + K.T @ Qu
+                Vxx_new = Qxx + K.T @ Qux
+                Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+                return (Vx_new, Vxx_new), (k, K)
+
+            init = (jnp.zeros(NX, F32), cfg.reg * jnp.eye(NX, dtype=F32))
+            _, (ks, Ks) = jax.lax.scan(backward, init, (A, Bm, cx, cu),
+                                       reverse=True)
+
+            # Forward pass with feedback, line-searched over alpha.
+            def forward(alpha):
+                def body(x, inp):
+                    u_n, x_n, k, K = inp
+                    u = u_n + alpha * k + K @ (x - x_n)
+                    u = jnp.clip(u, -cfg.u_clip, cfg.u_clip)
+                    x2 = self._f(env_state, x, u)
+                    return x2, (u, self._cost(env_state, x2, u))
+                _, (Us, costs) = jax.lax.scan(body, x0, (U, xs, ks, Ks))
+                return Us, costs.sum()
+
+            cand_U, cand_c = jax.vmap(forward)(
+                jnp.asarray(cfg.line_search, F32))
+            base_c = self._rollout_cost(env_state, U)
+            best = jnp.argmin(cand_c)
+            improved = cand_c[best] < base_c
+            U_new = jnp.where(improved, cand_U[best], U)
+            return U_new, jnp.where(improved, cand_c[best], base_c)
+
+        U_final, costs = jax.lax.scan(one_iteration, U,
+                                      None, length=cfg.iterations)
+        return U_final, costs[-1]
+
+    def solve(self, env_states: EnvState, sqp_states: SQPState, key=None):
+        """Batched solve over S parallel problems (vmap of _solve_one)."""
+        U_new, cost = jax.vmap(self._solve_one)(env_states, sqp_states.nominal)
+        actions = U_new[:, 0]
+        shifted = jnp.concatenate([U_new[:, 1:], U_new[:, -1:]], axis=1)
+        return actions, SQPState(nominal=shifted), {"cost": cost}

@@ -28,7 +28,8 @@ from bez_isaacgym_tpu.models import bez
 from bez_isaacgym_tpu.models.robot import DynParams, RobotModel
 from bez_isaacgym_tpu.ops import sensors
 from bez_isaacgym_tpu.ops.engine import (PhysicsState, SceneConfig,
-                                         default_state, make_step_fn)
+                                         default_state, make_batched_step_fn,
+                                         make_step_fn)
 
 F32 = jnp.float32
 
@@ -140,6 +141,7 @@ class BezTask:
         self.dof_lower = jnp.asarray(self.model.dof_lower, F32)
         self.dof_upper = jnp.asarray(self.model.dof_upper, F32)
         self._step_physics = make_step_fn(self.model, self.scene)
+        self._step_physics_batch = make_batched_step_fn(self.model, self.scene)
         lf = self.model.body_index("left_foot")
         rf = self.model.body_index("right_foot")
         self._foot_bodies = (lf, rf)
@@ -196,11 +198,10 @@ class BezTask:
         return state
 
     # ------------------------------------------------------------- step logic
-    def step_one(self, state: EnvState, action: jnp.ndarray) -> StepOutput:
+    def _pre_physics(self, state: EnvState, action: jnp.ndarray):
+        """Action pipeline (vec_task.py:314-318, kick_env.py:410-419)."""
         cfg = self.cfg
         key, k_act, k_obs, k_reset = jax.random.split(state.key, 4)
-
-        # Action pipeline (vec_task.py:314-318, kick_env.py:410-419).
         if cfg.dr.enabled:
             action = action + cfg.dr.action_noise_std * jax.random.normal(
                 k_act, action.shape, F32)
@@ -208,19 +209,17 @@ class BezTask:
         action = action.at[0:2].set(0.0)  # head motors zeroed
         targets = jnp.clip(action + self.default_dof_pos,
                            self.dof_lower, self.dof_upper)
+        return state._replace(key=key), action, targets, k_obs, k_reset
 
-        physics = state.physics
-        for _ in range(cfg.control_freq_inv):
-            physics = self._step_physics(state.dyn, physics, targets)
-        stepped = state._replace(physics=physics,
-                                 progress=state.progress + 1, key=key)
-
-        # Auto-reset of envs flagged done by the previous step
-        # (post_physics_step order: kick_env.py:429-438).
+    def _post_physics(self, state: EnvState, physics, action,
+                      k_obs, k_reset) -> StepOutput:
+        """Auto-reset + obs + reward (post_physics_step order:
+        kick_env.py:429-438)."""
+        cfg = self.cfg
+        stepped = state._replace(physics=physics, progress=state.progress + 1)
         fresh = self.reset_one(k_reset)
         state2 = jax.tree.map(lambda a, b: jnp.where(state.done, a, b),
                               fresh, stepped)
-
         obs, state3 = self.observe(state2, action)
         if cfg.dr.enabled:
             obs = obs + cfg.dr.obs_noise_std * jax.random.normal(
@@ -230,6 +229,25 @@ class BezTask:
         state4 = state3._replace(done=done)
         return StepOutput(state=state4, obs=obs, reward=reward, done=done,
                           time_out=time_out)
+
+    def step_one(self, state: EnvState, action: jnp.ndarray) -> StepOutput:
+        """Single-env step (tests / reference semantics)."""
+        state, action, targets, k_obs, k_reset = self._pre_physics(state, action)
+        physics = state.physics
+        for _ in range(self.cfg.control_freq_inv):
+            physics = self._step_physics(state.dyn, physics, targets)
+        return self._post_physics(state, physics, action, k_obs, k_reset)
+
+    def step_batch(self, states: EnvState, actions: jnp.ndarray) -> StepOutput:
+        """Production batched step: the physics runs through the batched
+        engine path (batched linear solve — see ops.engine perf notes)."""
+        states, actions, targets, k_obs, k_reset = jax.vmap(
+            self._pre_physics)(states, actions)
+        physics = states.physics
+        for _ in range(self.cfg.control_freq_inv):
+            physics = self._step_physics_batch(states.dyn, physics, targets)
+        return jax.vmap(self._post_physics)(states, physics, actions,
+                                            k_obs, k_reset)
 
     # ----------------------------------------------------------- observations
     def _imu_and_heading(self, state: EnvState):
