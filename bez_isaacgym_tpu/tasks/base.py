@@ -97,6 +97,8 @@ class EnvState(NamedTuple):
     goal_angle: jnp.ndarray        # () f32
     ball_init: jnp.ndarray         # (2,)
     key: jnp.ndarray               # PRNG key
+    dr_step: jnp.ndarray           # () int32 env steps since training start
+                                   # (drives DR schedules; never reset)
 
 
 class StepOutput(NamedTuple):
@@ -147,27 +149,42 @@ class BezTask:
         self._foot_bodies = (lf, rf)
 
     # ------------------------------------------------------------------ reset
-    def _sample_dyn(self, key) -> DynParams:
-        """Per-env dynamics randomization at reset (vec_task.py:620-713)."""
+    def _sample_dyn(self, key, dr_scale=1.0) -> DynParams:
+        """Per-env dynamics randomization at reset (vec_task.py:620-713).
+
+        dr_scale in [0,1] implements the reference's linear schedules
+        (bez_kick.yaml:168-169,179-180: interpolate between no randomization
+        and the full range over schedule_steps env steps)."""
         p = self.base_params
         dr = self.cfg.dr
         if not dr.enabled:
             return p
+
+        def scaled(lo, hi):
+            return 1.0 + (lo - 1.0) * dr_scale, 1.0 + (hi - 1.0) * dr_scale
+
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         mass = jax.random.uniform(k1, (self.model.nb,), F32,
-                                  *dr.mass_scale_range)
-        fric = jax.random.uniform(k2, (), F32, *dr.friction_scale_range)
-        kp = jax.random.uniform(k3, (self.model.nq,), F32, *dr.kp_scale_range)
-        kd = jax.random.uniform(k4, (self.model.nq,), F32, *dr.kd_scale_range)
-        grav = dr.gravity_noise_std * jax.random.normal(k5, (3,), F32)
+                                  *scaled(*dr.mass_scale_range))
+        fric = jax.random.uniform(k2, (), F32,
+                                  *scaled(*dr.friction_scale_range))
+        kp = jax.random.uniform(k3, (self.model.nq,), F32,
+                                *scaled(*dr.kp_scale_range))
+        kd = jax.random.uniform(k4, (self.model.nq,), F32,
+                                *scaled(*dr.kd_scale_range))
+        grav = dr.gravity_noise_std * dr_scale * \
+            jax.random.normal(k5, (3,), F32)
         return p._replace(
             mass_scale=p.mass_scale * mass,
             ground_friction=p.ground_friction * fric,
             kp=p.kp * kp, kd=p.kd * kd,
             gravity=p.gravity + grav)
 
-    def reset_one(self, key) -> EnvState:
-        """Fresh env state with reference reset noise (kick_env.py:786-791)."""
+    def reset_one(self, key, dr_scale=0.0) -> EnvState:
+        """Fresh env state with reference reset noise (kick_env.py:786-791).
+
+        dr_scale: DR schedule position (0 at training start; auto-resets
+        re-sample at the live schedule position, see _post_physics)."""
         cfg = self.cfg
         k_pos, k_vel, k_dyn, k_task, k_next = jax.random.split(key, 5)
         q = self.default_dof_pos + jax.random.uniform(
@@ -182,7 +199,7 @@ class BezTask:
             qd=qd, ball_vel=jnp.asarray(cfg.ball_init_vel, F32))
         state = EnvState(
             physics=physics,
-            dyn=self._sample_dyn(k_dyn),
+            dyn=self._sample_dyn(k_dyn, dr_scale),
             prev_lin_vel=jnp.zeros(3, F32),
             progress=jnp.zeros((), jnp.int32),
             done=jnp.zeros((), bool),
@@ -190,6 +207,7 @@ class BezTask:
             goal_angle=jnp.asarray(cfg.goal_angle, F32),
             ball_init=jnp.asarray(cfg.ball_init_pos[:2], F32),
             key=k_next,
+            dr_step=jnp.zeros((), jnp.int32),
         )
         return self.task_reset(state, k_task)
 
@@ -216,10 +234,15 @@ class BezTask:
         """Auto-reset + obs + reward (post_physics_step order:
         kick_env.py:429-438)."""
         cfg = self.cfg
-        stepped = state._replace(physics=physics, progress=state.progress + 1)
-        fresh = self.reset_one(k_reset)
+        stepped = state._replace(physics=physics, progress=state.progress + 1,
+                                 dr_step=state.dr_step + 1)
+        dr_scale = jnp.clip(
+            stepped.dr_step.astype(F32) / cfg.dr.schedule_steps, 0.0, 1.0)
+        fresh = self.reset_one(k_reset, dr_scale)
         state2 = jax.tree.map(lambda a, b: jnp.where(state.done, a, b),
                               fresh, stepped)
+        # The DR schedule clock survives resets.
+        state2 = state2._replace(dr_step=stepped.dr_step)
         obs, state3 = self.observe(state2, action)
         if cfg.dr.enabled:
             obs = obs + cfg.dr.obs_noise_std * jax.random.normal(
