@@ -1,8 +1,11 @@
-"""Test configuration: force CPU backend with a virtual 8-device mesh.
+"""Test configuration.
 
-Mirrors SURVEY.md §4's implication: the reference's tests need a real GPU;
-ours must run anywhere.  Multi-chip sharding tests use the 8 virtual CPU
-devices.
+- Requests a virtual 8-device CPU backend (for mesh/sharding tests) via
+  XLA_FLAGS; mesh tests grab it explicitly with jax.devices("cpu") because
+  the image's sitecustomize force-registers the tunneled TPU ("axon") ahead
+  of JAX_PLATFORMS, so the *default* backend may be that single TPU.
+- Enables the persistent compilation cache: XLA:CPU first-compiles are very
+  slow in this image (~0.5 s per op), and TPU compiles benefit too.
 """
 
 import os
@@ -13,8 +16,6 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-# XLA:CPU first-compiles are very slow in this image (~0.5 s per op); the
-# persistent cache makes repeat test runs orders of magnitude faster.
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -1,0 +1,66 @@
+"""Tests for visualization, camera, seeding, and distributed helpers."""
+
+import os
+
+import jax
+import numpy as np
+
+from bez_isaacgym_tpu.control.camera import Camera
+from bez_isaacgym_tpu.control.transformation import Transformation
+from bez_isaacgym_tpu.utils.seeding import set_seed
+
+
+def test_set_seed_returns_key():
+    k = set_seed(123)
+    assert np.asarray(jax.random.uniform(k)).shape == ()
+    # numpy seeded deterministically
+    a = np.random.rand()
+    set_seed(123)
+    assert np.random.rand() == a
+
+
+def test_camera_projection_roundtrip():
+    cam = Camera(Transformation(position=[0, 0, 0.5]))
+    # A point straight ahead projects to the image center.
+    px = cam.world_to_pixel([2.0, 0.0, 0.5])
+    np.testing.assert_allclose(px, [320, 240], atol=1e-6)
+    # Behind the camera: None.
+    assert cam.world_to_pixel([-1.0, 0.0, 0.5]) is None
+    # Floor intersection: pixel below center hits the ground ahead.
+    ground = cam.find_floor_coordinate(320, 400)
+    assert ground is not None
+    assert ground[0] > 0 and abs(ground[2]) < 1e-9
+    # Round trip: project the floor point back to the same pixel.
+    px2 = cam.world_to_pixel(ground)
+    np.testing.assert_allclose(px2, [320, 400], atol=1e-4)
+
+
+def test_render_frame_and_episode(tmp_path):
+    from bez_isaacgym_tpu.models.bez import (READY_JOINT_ANGLES,
+                                             load_bez_model, pose_vector)
+    from bez_isaacgym_tpu.ops.engine import SceneConfig, default_state
+    from bez_isaacgym_tpu.viz.render import render_episode, render_frame
+
+    model = load_bez_model("stl")
+    cfg = SceneConfig()
+    q0 = pose_vector(model, READY_JOINT_ANGLES)
+    s = default_state(model, cfg, q0, (0, 0, 0.34), (0, 0, 0, 1))
+    ax = render_frame(model, s)
+    assert ax is not None
+    out = render_episode(model, [s, s, s], str(tmp_path / "ep.gif"), every=1)
+    assert os.path.getsize(out) > 1000
+
+
+def test_kick_reward_debugger(tmp_path):
+    from bez_isaacgym_tpu.tasks.kick import KickTask
+    from bez_isaacgym_tpu.viz.debug_rewards import KickRewardDebugger
+
+    task = KickTask()
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    states = jax.vmap(task.reset_one)(keys)
+    dbg = KickRewardDebugger(task)
+    dbg.record(states)
+    dbg.record(states)
+    path = dbg.save(str(tmp_path / "rewards.png"))
+    assert os.path.getsize(path) > 1000
+    assert len(dbg.history["up_proj"]) == 2
