@@ -1,0 +1,94 @@
+"""RL stack tests: networks, PPO mechanics, players, checkpoints."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bez_isaacgym_tpu.rl.networks import (ActorCritic, RunningMeanStd,
+                                          gaussian_kl, gaussian_logp)
+from bez_isaacgym_tpu.rl.ppo import PPOConfig, make_ppo
+from bez_isaacgym_tpu.tasks.base import TaskConfig
+from bez_isaacgym_tpu.tasks.kick import KickTask
+
+
+def test_actor_critic_shapes():
+    net = ActorCritic(num_actions=18)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((4, 54)))
+    mu, log_std, value = net.apply(params, jnp.zeros((4, 54)))
+    assert mu.shape == (4, 18) and value.shape == (4,)
+    np.testing.assert_allclose(np.asarray(log_std), 0.0)  # sigma_init 0
+    # Reference MLP sizes [400,200,100] (bez_kickPPO.yaml:26).
+    shapes = jax.tree.map(lambda x: x.shape, params)["params"]
+    assert shapes["Dense_0"]["kernel"] == (54, 400)
+    assert shapes["Dense_2"]["kernel"] == (200, 100)
+
+
+def test_running_mean_std_converges():
+    rms = RunningMeanStd.create((3,))
+    rng = np.random.default_rng(0)
+    data = rng.normal(loc=[1.0, -2.0, 5.0], scale=[0.5, 2.0, 1.0],
+                      size=(50, 64, 3)).astype(np.float32)
+    for batch in data:
+        rms = rms.update(jnp.asarray(batch))
+    np.testing.assert_allclose(np.asarray(rms.mean), [1.0, -2.0, 5.0],
+                               atol=0.1)
+    np.testing.assert_allclose(np.sqrt(np.asarray(rms.var)),
+                               [0.5, 2.0, 1.0], atol=0.1)
+    normed = np.asarray(rms.normalize(jnp.asarray(data[0])))
+    assert abs(normed.mean()) < 0.2 and abs(normed.std() - 1.0) < 0.2
+
+
+def test_gaussian_logp_kl():
+    mu = jnp.zeros((2, 3))
+    log_std = jnp.zeros((2, 3))
+    a = jnp.zeros((2, 3))
+    lp = np.asarray(gaussian_logp(mu, log_std, a))
+    np.testing.assert_allclose(lp, 3 * -0.5 * np.log(2 * np.pi), atol=1e-4)
+    kl = np.asarray(gaussian_kl(mu, log_std, mu, log_std))
+    np.testing.assert_allclose(kl, 0.0, atol=1e-6)
+    kl2 = np.asarray(gaussian_kl(mu, log_std, mu + 1.0, log_std))
+    np.testing.assert_allclose(kl2, 1.5, atol=1e-5)  # 3 * 0.5
+
+
+@pytest.mark.slow
+def test_ppo_train_iter_and_player(tmp_path):
+    task = KickTask(TaskConfig(substeps=2))
+    cfg = PPOConfig(horizon=3, minibatch_size=12, mini_epochs=2,
+                    units=(32, 32))
+    num_envs = 4
+    init_fn, train_iter, act_fn = make_ppo(task, num_envs, cfg)
+    ts = init_fn(jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(1), num_envs)
+    env_state = jax.jit(jax.vmap(task.reset_one))(keys)
+    obs = jnp.zeros((num_envs, task.num_obs), jnp.float32)
+    jit_iter = jax.jit(train_iter)
+    ts2, env_state, obs, metrics = jit_iter(ts, env_state, obs)
+    assert int(ts2.epoch) == 1
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    # Params actually changed.
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         ts.params, ts2.params)
+    assert max(jax.tree.leaves(delta)) > 0
+
+    # Checkpoint round trip through the player.
+    from bez_isaacgym_tpu.rl.players import PpoPlayerContinuous
+    from bez_isaacgym_tpu.utils import checkpoint as ckpt
+
+    path = str(tmp_path / "test.ckpt")
+    ckpt.save(path, ts2)
+    player = PpoPlayerContinuous(task, cfg)
+    player.restore(path)
+    a = player.get_action(np.zeros((2, 54), np.float32))
+    assert a.shape == (2, 18)
+    assert float(jnp.abs(a).max()) <= task.cfg.clip_actions + 1e-6
+    # Deterministic action equals mu-path of act_fn on restored state.
+    a2 = act_fn(ts2, jnp.zeros((2, 54)), deterministic=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a2), atol=1e-6)
+
+
+def test_checkpoint_name_parity():
+    from bez_isaacgym_tpu.utils.checkpoint import checkpoint_name, latest
+    assert checkpoint_name("Bez_Kick", 33, 5981.31) == \
+        "Bez_Kick_33_rew_5981.31.ckpt"
