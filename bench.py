@@ -11,6 +11,7 @@ This script runs on however many chips are visible (the driver gives one).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -57,13 +58,31 @@ def main():
     solves_per_s = num_solves / p50
     baseline_per_chip = 4096 / 8.0   # v5p-8 target spread over 8 chips
 
+    # Optional true single-solve latency (S=1; separate compile, and on
+    # this rig it includes the dev tunnel's per-dispatch overhead of
+    # ~1.5 ms x 64 sequential steps).  Enable with BEZ_BENCH_LATENCY=1.
+    single_ms = None
+    if os.environ.get("BEZ_BENCH_LATENCY") == "1":
+        env1 = jax.tree.map(lambda x: x[:1], env_state)
+        m1 = jax.tree.map(lambda x: x[:1], mppi_state)
+        a1, m1b, _ = solve(env1, m1, jax.random.PRNGKey(99))
+        jax.block_until_ready(a1)
+        lat1 = []
+        for i in range(5):
+            t0 = time.time()
+            a1, m1b, _ = solve(env1, m1b, jax.random.PRNGKey(100 + i))
+            jax.block_until_ready(a1)
+            lat1.append(time.time() - t0)
+        single_ms = round(sorted(lat1)[2] * 1000, 2)
+
     print(json.dumps({
         "metric": "mpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline_per_chip, 3),
         "p50_batch_latency_ms": round(p50 * 1000, 2),
-        "per_solve_ms": round(p50 * 1000 / num_solves, 4),
+        "throughput_per_solve_ms": round(p50 * 1000 / num_solves, 4),
+        "single_solve_p50_ms": single_ms,
         "num_parallel_solves": num_solves,
         "horizon": mppi.horizon,
         "num_samples": mppi.num_samples,

@@ -74,13 +74,16 @@ class Runner:
                       f"kl {m['kl']:.4f} lr {m['lr']:.2e} "
                       f"done% {100 * m['done_frac']:.1f}")
             reward = float(metrics["reward_mean"])
-            if it % cfg.save_frequency == 0 or (
-                    it > cfg.save_best_after and reward > best_reward):
-                if reward > best_reward:
-                    best_reward = reward
+            if it % cfg.save_frequency == 0:
                 path = os.path.join(
                     self.run_dir, ckpt.checkpoint_name(cfg.name, it, reward))
                 ckpt.save(path, ts)
+            if it > cfg.save_best_after and reward > best_reward:
+                best_reward = reward
+                # Single overwritten best file (the reference re-saves
+                # "<name>_<epoch>.pth on new best"; one file avoids spam).
+                ckpt.save(os.path.join(self.run_dir, f"{cfg.name}_best.ckpt"),
+                          ts)
         logger.close()
         return ts
 
