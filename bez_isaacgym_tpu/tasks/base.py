@@ -77,6 +77,7 @@ class TaskConfig:
     goal_angle: float = 1.5708            # bez_orient.yaml:26
     reset_dof_pos_noise: float = 0.15     # kick_env.py:786
     reset_dof_vel_noise: float = 0.1      # kick_env.py:787
+    use_pallas: bool = True               # fused TPU kernel when available
     dr: DomainRandConfig = field(default_factory=DomainRandConfig)
 
     @property
@@ -143,7 +144,16 @@ class BezTask:
         self.dof_lower = jnp.asarray(self.model.dof_lower, F32)
         self.dof_upper = jnp.asarray(self.model.dof_upper, F32)
         self._step_physics = make_step_fn(self.model, self.scene)
-        self._step_physics_batch = make_batched_step_fn(self.model, self.scene)
+        # Production batched path: the fused Pallas kernel on TPU backends
+        # (14x the XLA path, see ops/pallas_step.py), XLA elsewhere.
+        from bez_isaacgym_tpu.ops.pallas_step import (make_pallas_step_fn,
+                                                      pallas_available)
+        if cfg.use_pallas and pallas_available():
+            self._step_physics_batch = make_pallas_step_fn(self.model,
+                                                           self.scene)
+        else:
+            self._step_physics_batch = make_batched_step_fn(self.model,
+                                                            self.scene)
         lf = self.model.body_index("left_foot")
         rf = self.model.body_index("right_foot")
         self._foot_bodies = (lf, rf)

@@ -1,0 +1,87 @@
+"""Fused Pallas substep kernel vs the XLA engine path.
+
+Runs only on TPU backends (the kernel targets real hardware; CPU CI takes
+the XLA path everywhere).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bez_isaacgym_tpu.models.bez import (READY_JOINT_ANGLES, READY_HEIGHT,
+                                         default_dyn_params, load_bez_model,
+                                         pose_vector)
+from bez_isaacgym_tpu.ops.engine import (SceneConfig, default_state,
+                                         make_batched_step_fn)
+from bez_isaacgym_tpu.ops.pallas_step import (make_pallas_step_fn,
+                                              pallas_available)
+
+pytestmark = pytest.mark.skipif(not pallas_available(),
+                                reason="needs a TPU backend")
+
+F32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = load_bez_model("stl")
+    cfg = SceneConfig(substeps=2)
+    B = 256
+    params = jax.tree.map(jnp.asarray, default_dyn_params(model))
+    bparams = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + jnp.asarray(x).shape),
+        params)
+    q0 = jnp.asarray(pose_vector(model, READY_JOINT_ANGLES), F32)
+    s0 = default_state(model, cfg, q0, (0, 0, 0.34), (0, 0, 0, 1))
+    batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), s0)
+    rng = np.random.default_rng(0)
+    batch = batch._replace(
+        q=jnp.asarray(rng.uniform(-0.1, 0.1, (B, 18)).astype(np.float32))
+        + q0[None])
+    return model, cfg, bparams, batch, q0, B
+
+
+def test_pallas_matches_xla_engine(setup):
+    model, cfg, bparams, batch, q0, B = setup
+    tg = jnp.broadcast_to(q0, (B, 18))
+    ref = jax.jit(make_batched_step_fn(model, cfg))(bparams, batch, tg)
+    out = jax.jit(make_pallas_step_fn(model, cfg))(bparams, batch, tg)
+    # Kinematic quantities agree tightly; contact-force transients differ at
+    # the bf16-vs-f32 level of the XLA path's matmul velocities.
+    np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.base_pos),
+                               np.asarray(ref.base_pos), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.base_quat),
+                               np.asarray(ref.base_quat), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.ball_pos),
+                               np.asarray(ref.ball_pos), atol=1e-3)
+
+
+def test_pallas_standing_balance(setup):
+    """The kernel keeps the robot standing at the reference height."""
+    model, cfg, bparams, batch, q0, B = setup
+    step = jax.jit(make_pallas_step_fn(model, cfg))
+    tg = jnp.broadcast_to(q0, (B, 18))
+    s = batch
+    for _ in range(180):
+        s = step(bparams, s, tg)
+    h = np.asarray(s.base_pos[:, 2])
+    assert not np.isnan(np.asarray(s.q)).any()
+    assert abs(h.mean() - READY_HEIGHT) < 0.015
+    assert np.all(np.asarray(s.base_quat[:, 3]) > 0.99)
+
+
+def test_pallas_padding(setup):
+    """Non-multiple batch sizes are padded and sliced back."""
+    model, cfg, bparams, batch, q0, B = setup
+    n = 7
+    small = jax.tree.map(lambda x: x[:n], batch)
+    sparams = jax.tree.map(
+        lambda x: jnp.asarray(x)[:n] if jnp.asarray(x).ndim else x, bparams)
+    step = jax.jit(make_pallas_step_fn(model, cfg))
+    out = step(sparams, small, jnp.broadcast_to(q0, (n, 18)))
+    assert out.q.shape == (n, 18)
+    assert not np.isnan(np.asarray(out.q)).any()

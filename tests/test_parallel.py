@@ -40,7 +40,7 @@ def test_data_parallel_ppo_step(mesh):
     from bez_isaacgym_tpu.tasks.base import TaskConfig
 
     num_envs = 16
-    task = KickTask(TaskConfig(substeps=2))
+    task = KickTask(TaskConfig(substeps=2, use_pallas=False))
     cfg = PPOConfig(horizon=2, minibatch_size=num_envs * 2, mini_epochs=1,
                     units=(16, 16))
     init_fn, train_iter, _ = data_parallel_ppo(task, num_envs, mesh, cfg)
@@ -65,7 +65,8 @@ def test_data_parallel_mpc(mesh):
     from bez_isaacgym_tpu.tasks.base import TaskConfig
 
     S = 8
-    task = WalkTask(TaskConfig(substeps=1, episode_length_s=10.0))
+    task = WalkTask(TaskConfig(substeps=1, episode_length_s=10.0,
+                               use_pallas=False))
     solver = MPPISolver(task, MPPIConfig(horizon=2, num_samples=2))
     keys = jax.random.split(jax.random.PRNGKey(0), S)
     env_states = jax.device_put(jax.jit(jax.vmap(task.reset_one))(keys),
