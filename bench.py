@@ -17,6 +17,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the cold compile through the dev tunnel takes
+# minutes; repeat runs (and the driver's round-end run) hit the cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def main():
     from bez_isaacgym_tpu.solvers.mppi import MPPIConfig, MPPISolver
