@@ -29,8 +29,9 @@ class VecEnv:
         self.num_actions = task.num_actions
 
         self.observation_space = Box.symmetric(np.inf, task.num_obs)
-        self.action_space = Box.symmetric(task.cfg.clip_actions,
-                                          task.num_actions)
+        # Box(-1, 1) like the reference act_space (vec_task.py:95); the
+        # env-side clip_actions clamp is applied inside the task step.
+        self.action_space = Box.symmetric(1.0, task.num_actions)
 
         self._sharding = sharding
         self._reset_fn = jax.jit(jax.vmap(task.reset_one))
@@ -51,9 +52,10 @@ class VecEnv:
         self.state = self._device_put(self._reset_fn(keys))
         zeros = jnp.zeros((self.num_envs, self.num_actions), jnp.float32)
         out: StepOutput = self._step_fn(self.state, zeros)
-        # Keep the pre-step state so progress still starts at 0.
-        obs = out.obs
-        return obs
+        # Keep the stepped state so the obs we return is the obs the next
+        # step() continues from (vec_task.py:361-377 keeps the stepped state).
+        self.state = out.state
+        return out.obs
 
     def step(self, actions):
         """-> (obs, reward, done, info) with info['time_outs'] parity

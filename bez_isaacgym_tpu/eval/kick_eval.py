@@ -1,0 +1,163 @@
+"""Closed-loop kick evaluation: does the policy actually kick?
+
+Runs a trained policy (or an MPC solver via --solver) on S parallel kick
+envs for one episode horizon and reports ball displacement toward the goal,
+success rate (ball driven >= `success_dist` toward goal), scoring rate, and
+fall rate — the repo-native analog of judging the reference's shipped
+checkpoint by watching it kick (test_kick_env.py:228-231).
+
+Usage:
+    python -m bez_isaacgym_tpu.eval.kick_eval --checkpoint runs/Bez_Kick/Bez_Kick_best.ckpt
+    python -m bez_isaacgym_tpu.eval.kick_eval --solver mppi --num-envs 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bez_isaacgym_tpu.tasks.base import TaskConfig
+from bez_isaacgym_tpu.tasks.kick import KickTask
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def eval_policy(checkpoint: str, num_envs: int = 64, steps: int = 600,
+                success_dist: float = 1.0, seed: int = 0,
+                deterministic: bool = True):
+    from bez_isaacgym_tpu.rl.players import PpoPlayerContinuous
+
+    task = KickTask(TaskConfig(substeps=4))
+    player = PpoPlayerContinuous(task, checkpoint_path=checkpoint)
+    act = jax.jit(lambda ts, o: player._act(ts, o, jax.random.PRNGKey(0),
+                                            deterministic))
+
+    step = jax.jit(task.step_batch)
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+    state = jax.jit(jax.vmap(task.reset_one))(keys)
+    zero = jnp.zeros(task.num_actions, jnp.float32)
+    obs, state = jax.jit(jax.vmap(lambda s: task.observe(s, zero)))(state)
+
+    goal = np.asarray(state.goal)                    # (S,2)
+    ball0 = np.asarray(state.physics.ball_pos)[:, :2]
+    init_goal_dist = np.linalg.norm(goal - ball0, axis=-1)
+
+    # Track per-env FIRST episode only (freeze results at first done).
+    finished = np.zeros(num_envs, bool)
+    progress_toward_goal = np.zeros(num_envs)        # meters toward goal
+    scored = np.zeros(num_envs, bool)
+    fell = np.zeros(num_envs, bool)
+    ep_steps = np.zeros(num_envs, int)
+
+    for t in range(steps):
+        actions = act(player.train_state, obs)
+        out = step(state, actions)
+        ball = np.asarray(out.state.physics.ball_pos)[:, :2]
+        height = np.asarray(out.state.physics.base_pos)[:, 2]
+        goal_dist = np.linalg.norm(goal - ball, axis=-1)
+        live = ~finished
+        progress_toward_goal[live] = np.maximum(
+            progress_toward_goal[live],
+            (init_goal_dist - goal_dist)[live])
+        d = np.asarray(out.done) & live
+        scored[d & (goal_dist < 0.05)] = True
+        fell[d & (height < 0.275)] = True
+        ep_steps[live] += 1
+        finished |= np.asarray(out.done)
+        state, obs = out.state, out.obs
+        if finished.all():
+            break
+
+    return {
+        "num_envs": num_envs,
+        "mean_ball_progress_m": float(progress_toward_goal.mean()),
+        "median_ball_progress_m": float(np.median(progress_toward_goal)),
+        "success_rate": float((progress_toward_goal >= success_dist).mean()),
+        "kicked_rate": float((progress_toward_goal >= 0.3).mean()),
+        "score_rate": float(scored.mean()),
+        "fall_rate": float(fell.mean()),
+        "mean_ep_steps": float(ep_steps.mean()),
+    }
+
+
+def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
+              seed: int = 0, horizon: int = 32, num_samples: int = 64,
+              sigma: float = 0.25, temperature: float = 0.05,
+              substeps: int = 2):
+    from bez_isaacgym_tpu.solvers.mppi import MPPIConfig, MPPISolver
+
+    task = KickTask(TaskConfig(substeps=substeps))
+    solver = MPPISolver(task, MPPIConfig(horizon=horizon,
+                                         num_samples=num_samples,
+                                         sigma=sigma,
+                                         temperature=temperature))
+    solve = jax.jit(solver.solve)
+    step = jax.jit(task.step_batch)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+    state = jax.jit(jax.vmap(task.reset_one))(keys)
+    mppi = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape),
+        solver.init_state())
+
+    goal = np.asarray(state.goal)
+    ball0 = np.asarray(state.physics.ball_pos)[:, :2]
+    init_goal_dist = np.linalg.norm(goal - ball0, axis=-1)
+
+    finished = np.zeros(num_envs, bool)
+    progress_toward_goal = np.zeros(num_envs)
+    fell = np.zeros(num_envs, bool)
+    key = jax.random.PRNGKey(seed + 1)
+
+    for t in range(steps):
+        key, sub = jax.random.split(key)
+        actions, mppi, _ = solve(state, mppi, sub)
+        out = step(state, actions)
+        ball = np.asarray(out.state.physics.ball_pos)[:, :2]
+        height = np.asarray(out.state.physics.base_pos)[:, 2]
+        goal_dist = np.linalg.norm(goal - ball, axis=-1)
+        live = ~finished
+        progress_toward_goal[live] = np.maximum(
+            progress_toward_goal[live], (init_goal_dist - goal_dist)[live])
+        d = np.asarray(out.done) & live
+        fell[d & (height < 0.275)] = True
+        finished |= np.asarray(out.done)
+        state, obs = out.state, out.obs
+        if finished.all():
+            break
+
+    return {
+        "num_envs": num_envs,
+        "mean_ball_progress_m": float(progress_toward_goal.mean()),
+        "success_rate": float((progress_toward_goal >= success_dist).mean()),
+        "kicked_rate": float((progress_toward_goal >= 0.3).mean()),
+        "fall_rate": float(fell.mean()),
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--solver", default="", choices=["", "mppi"])
+    ap.add_argument("--num-envs", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--stochastic", action="store_true")
+    ap.add_argument("--sigma", type=float, default=0.25)
+    ap.add_argument("--temperature", type=float, default=0.05)
+    ap.add_argument("--num-samples", type=int, default=64)
+    ap.add_argument("--horizon", type=int, default=32)
+    args = ap.parse_args()
+    if args.solver == "mppi":
+        res = eval_mppi(num_envs=args.num_envs, steps=args.steps,
+                        sigma=args.sigma, temperature=args.temperature,
+                        num_samples=args.num_samples, horizon=args.horizon)
+    else:
+        res = eval_policy(args.checkpoint, num_envs=args.num_envs,
+                          steps=args.steps,
+                          deterministic=not args.stochastic)
+    print(json.dumps(res))

@@ -140,4 +140,6 @@ def default_dyn_params(model: RobotModel, ground_friction: float = 1.0,
         ground_friction=ground_friction,
         restitution=restitution,
         gravity=np.array([0.0, 0.0, -9.81]),
+        dof_lower=np.asarray(model.dof_lower, np.float64).copy(),
+        dof_upper=np.asarray(model.dof_upper, np.float64).copy(),
     )

@@ -93,6 +93,8 @@ class DynParams(NamedTuple):
     ground_friction: float = 1.0
     restitution: float = 0.0
     gravity: np.ndarray = None   # (3,)
+    dof_lower: np.ndarray = None  # (nq,) joint limits (DR-randomizable,
+    dof_upper: np.ndarray = None  # bez_kick.yaml:205-214); None = model's
 
 
 def _compose_inertia(entries):

@@ -43,8 +43,13 @@ class Wrenches(NamedTuple):
 
 
 def _friction_dir(vt: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """Smooth unit vector along tangential velocity."""
-    return vt / (jnp.linalg.norm(vt, axis=-1, keepdims=True) + eps)
+    """Smooth unit vector along tangential velocity.
+
+    sqrt(|vt|^2 + eps^2) (not norm+eps): d|vt|/dvt is NaN at vt=0 and the
+    NaN tangent leaks through the 0*NaN product into the friction force
+    under jacfwd — the SQP linearization path.  This form is C^inf."""
+    ssq = jnp.sum(vt * vt, axis=-1, keepdims=True)
+    return vt / jnp.sqrt(ssq + eps * eps)
 
 
 def robot_plane_contacts(model: RobotModel, frames: BodyFrames, vel: BodyVel,
@@ -95,8 +100,9 @@ def ball_plane_contact(ball_pos: jnp.ndarray, ball_vel: jnp.ndarray,
     ft = -mu * fn * _friction_dir(vt, coeffs.vt_eps)
     f = ft.at[2].set(fn)
     torque = jnp.cross(contact - ball_pos, f)
-    # Rolling resistance opposing spin.
-    w_norm = jnp.linalg.norm(ball_ang) + 1e-6
+    # Rolling resistance opposing spin (smooth at ball_ang=0 — see
+    # _friction_dir for why norm+eps is not differentiable there).
+    w_norm = jnp.sqrt(jnp.sum(ball_ang * ball_ang) + 1e-12)
     torque = torque - rolling_friction * fn * radius * ball_ang / w_norm
     return BallForces(F=f, N=torque)
 
@@ -119,7 +125,8 @@ def ball_robot_contacts(model: RobotModel, frames: BodyFrames, vel: BodyVel,
     clamped = jnp.clip(local, -half, half)
     closest = box_c + jnp.einsum("kij,kj->ki", Rbox, clamped)
     delta = ball_pos[None, :] - closest
-    dist = jnp.linalg.norm(delta, axis=-1)
+    # Smooth at delta=0 (ball center exactly on a box face/inside).
+    dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-12)
     # If the center is inside the box, dist ~ 0; push up as a safe fallback.
     n = jnp.where(dist[:, None] > 1e-6, delta / (dist[:, None] + 1e-9),
                   jnp.array([0.0, 0.0, 1.0], dtype=dtype))

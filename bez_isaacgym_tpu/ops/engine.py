@@ -123,8 +123,11 @@ def _contact_damping_W(model: RobotModel, cfg: SceneConfig, frames, vel,
     active = pen > 0.0
     fn_est = jnp.clip(cfg.coeffs.kn * pen, 0.0, None) * active
     v_c = vel.v_com[cb] + jnp.cross(vel.w[cb], r)
-    vt_norm = jnp.linalg.norm(v_c.at[..., 2].set(0.0), axis=-1)
-    d_t = mu * fn_est / (vt_norm + cfg.coeffs.vt_eps)
+    # Smooth sqrt(ssq + eps^2) form (matches contact._friction_dir; the
+    # norm's NaN tangent at vt=0 otherwise leaks into SQP linearization).
+    vt_norm = jnp.sqrt(v_c[..., 0] ** 2 + v_c[..., 1] ** 2
+                       + cfg.coeffs.vt_eps ** 2)
+    d_t = mu * fn_est / vt_norm
     d_n = cfg.coeffs.cn * active
     g = d_n - d_t
 
@@ -254,15 +257,22 @@ def _prepare(model: RobotModel, cfg: SceneConfig, mask, params: DynParams,
     return H_eff, tau, aux
 
 
-def _integrate(model: RobotModel, cfg: SceneConfig, state: PhysicsState,
-               udot: jnp.ndarray, aux: _SubstepAux, h: float) -> PhysicsState:
+def _integrate(model: RobotModel, cfg: SceneConfig, params: DynParams,
+               state: PhysicsState, udot: jnp.ndarray, aux: _SubstepAux,
+               h: float) -> PhysicsState:
     """Semi-implicit Euler update from the solved accelerations."""
     f32 = state.q.dtype
     u_new = aux.u + h * udot
     qd_new = jnp.clip(u_new[6:], -cfg.max_joint_vel, cfg.max_joint_vel)
     q_new = state.q + h * qd_new
-    lower = jnp.asarray(model.dof_lower, f32)
-    upper = jnp.asarray(model.dof_upper, f32)
+    # Joint limits come from params when present (per-env DR of the DOF
+    # lower/upper props, bez_kick.yaml:205-214), else the model's.
+    lower = (jnp.asarray(params.dof_lower, f32)
+             if params.dof_lower is not None
+             else jnp.asarray(model.dof_lower, f32))
+    upper = (jnp.asarray(params.dof_upper, f32)
+             if params.dof_upper is not None
+             else jnp.asarray(model.dof_upper, f32))
     q_clamped = jnp.clip(q_new, lower, upper)
     at_limit = (q_new < lower) | (q_new > upper)
     qd_new = jnp.where(at_limit, 0.0, qd_new)
@@ -301,7 +311,7 @@ def _substep(model: RobotModel, cfg: SceneConfig, mask, params: DynParams,
     nv = 6 + model.nq
     order = np.concatenate([np.arange(6, nv), np.arange(6)])
     udot = solve_spd_ordered_single(H_eff, tau, order)
-    return _integrate(model, cfg, state, udot, aux, h)
+    return _integrate(model, cfg, params, state, udot, aux, h)
 
 
 def step(model: RobotModel, cfg: SceneConfig, mask, params: DynParams,
@@ -348,12 +358,13 @@ def make_batched_step_fn(model: RobotModel, cfg: SceneConfig,
         lambda p, s, t: _prepare(model, cfg, mask, p, s, t, h),
         in_axes=(p_ax, 0, 0))
     integ = jax.vmap(
-        lambda s, u, a: _integrate(model, cfg, s, u, a, h))
+        lambda p, s, u, a: _integrate(model, cfg, p, s, u, a, h),
+        in_axes=(p_ax, 0, 0, 0))
 
     def substep(states, params, targets):
         H_eff, tau, aux = prep(params, states, targets)
         udot = solve_spd_ordered(H_eff, tau, order)
-        return integ(states, udot, aux)
+        return integ(params, states, udot, aux)
 
     def step_fn(params, states: PhysicsState, targets: jnp.ndarray):
         if cfg.substeps == 1:

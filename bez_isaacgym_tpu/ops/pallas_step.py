@@ -129,6 +129,7 @@ def _substep_kernel(model: RobotModel, cfg: SceneConfig, h: float,
                     ballp_ref, ballq_ref, ballv_ref, ballw_ref,
                     kp_ref, kd_ref, eff_ref, arm_ref, jfric_ref,
                     mscale_ref, mu_ref, grav_ref, tgt_ref,
+                    lolim_ref, uplim_ref,
                     # outputs:
                     oq_ref, oqd_ref, obpos_ref, obquat_ref, obu_ref,
                     oballp_ref, oballq_ref, oballv_ref, oballw_ref,
@@ -226,7 +227,8 @@ def _substep_kernel(model: RobotModel, cfg: SceneConfig, h: float,
         pen = -pw[2]
         active = pen > 0.0
         fn = jnp.maximum(kn * pen - cn * vp[2], 0.0) * active
-        vt_norm = jnp.sqrt(vp[0] * vp[0] + vp[1] * vp[1]) + vt_eps
+        # sqrt(ssq + eps^2): matches ops.contact._friction_dir (smooth form)
+        vt_norm = jnp.sqrt(vp[0] * vp[0] + vp[1] * vp[1] + vt_eps * vt_eps)
         scale = -mu * fn / vt_norm
         f = [vp[0] * scale, vp[1] * scale, fn]
         F[b] = v_add(F[b], f)
@@ -261,12 +263,12 @@ def _substep_kernel(model: RobotModel, cfg: SceneConfig, h: float,
         cpnt = [ballp[0], ballp[1], ballp[2] - rad]
         vp = v_add(ballv, v_cross(ballw, v_sub(cpnt, ballp)))
         fn = jnp.maximum(bkn * pen - bcn * vp[2], 0.0) * (pen > 0.0)
-        vt_norm = jnp.sqrt(vp[0] * vp[0] + vp[1] * vp[1]) + vt_eps
+        vt_norm = jnp.sqrt(vp[0] * vp[0] + vp[1] * vp[1] + vt_eps * vt_eps)
         s = -mu * fn / vt_norm
         fpl = [vp[0] * s, vp[1] * s, fn]
         ball_F = v_add(ball_F, fpl)
         ball_N = v_add(ball_N, v_cross(v_sub(cpnt, ballp), fpl))
-        wn = jnp.sqrt(v_dot(ballw, ballw)) + 1e-6
+        wn = jnp.sqrt(v_dot(ballw, ballw) + 1e-12)
         roll = -cfg.ball_rolling_friction * fn * rad
         ball_N = v_add(ball_N, v_scale(ballw, roll / wn))
         # sphere-box per robot box
@@ -284,7 +286,7 @@ def _substep_kernel(model: RobotModel, cfg: SceneConfig, h: float,
                   for i in range(3)]
             closest = v_add(box_c, m_vec(Rbox, cl))
             delta = v_sub(ballp, closest)
-            dist = jnp.sqrt(v_dot(delta, delta))
+            dist = jnp.sqrt(v_dot(delta, delta) + 1e-12)
             inv = 1.0 / (dist + 1e-9)
             n_ok = dist > 1e-6
             nrm = [jnp.where(n_ok, delta[0] * inv, 0.0),
@@ -298,7 +300,7 @@ def _substep_kernel(model: RobotModel, cfg: SceneConfig, h: float,
             vn = v_dot(rel, nrm)
             fn = jnp.maximum(bkn * pen - bcn * vn, 0.0) * (pen > 0.0)
             vt = v_sub(rel, v_scale(nrm, vn))
-            vtn = jnp.sqrt(v_dot(vt, vt)) + vt_eps
+            vtn = jnp.sqrt(v_dot(vt, vt) + vt_eps * vt_eps)
             fb = v_sub(v_scale(nrm, fn), v_scale(vt, mu * fn / vtn))
             ball_F = v_add(ball_F, fb)
             ball_N = v_add(ball_N, v_cross(v_sub(closest, ballp), fb))
@@ -453,7 +455,7 @@ def _substep_kernel(model: RobotModel, cfg: SceneConfig, h: float,
     for j in range(nq):
         qdn = jnp.clip(u_new[6 + j], -cap, cap)
         qn = q[j] + h * qdn
-        lo, hi = float(model.dof_lower[j]), float(model.dof_upper[j])
+        lo, hi = lolim_ref[j], uplim_ref[j]   # per-env DR-able joint limits
         qc = jnp.clip(qn, lo, hi)
         at_lim = (qn < lo) | (qn > hi)
         qdn = jnp.where(at_lim, 0.0, qdn)
@@ -538,8 +540,9 @@ def make_pallas_step_fn(model: RobotModel, cfg: SceneConfig,
 
     kernel = functools.partial(_substep_kernel, model, cfg, h)
 
-    in_dims = [nq, nq, 3, 4, 6, 3, 4, 3, 3,          # state
-               nq, nq, nq, nq, nq, nb, 1, 3, nq]     # params + targets
+    in_dims = [nq, nq, 3, 4, 6, 3, 4, 3, 3,              # state
+               nq, nq, nq, nq, nq, nb, 1, 3, nq, nq, nq]  # params + targets
+                                                          # + joint limits
     out_dims = [nq, nq, 3, 4, 6, 3, 4, 3, 3, 8, 3 * nb]
 
     def call(*flat_inputs):
@@ -590,6 +593,12 @@ def make_pallas_step_fn(model: RobotModel, cfg: SceneConfig,
             to_bl(params.armature), to_bl(params.joint_friction),
             to_bl(params.mass_scale), to_bl(mu), to_bl(params.gravity),
             to_bl(targets),
+            to_bl(params.dof_lower if params.dof_lower is not None
+                  else jnp.broadcast_to(
+                      jnp.asarray(model.dof_lower, jnp.float32), (B, nq))),
+            to_bl(params.dof_upper if params.dof_upper is not None
+                  else jnp.broadcast_to(
+                      jnp.asarray(model.dof_upper, jnp.float32), (B, nq))),
         ]
         for _ in range(cfg.substeps):
             out = call(*flat)

@@ -38,8 +38,21 @@ def data_parallel_ppo(task: BezTask, num_envs: int, mesh,
     ts_spec = P()          # replicated train state
     env_spec = P(ENV_AXIS)  # sharded env batch
 
+    def shard_iter(ts, env_state, obs):
+        # Fold the shard index into the key so every shard draws distinct
+        # exploration noise / minibatch permutations, then advance the
+        # *replicated* key identically on all shards so the train state
+        # stays bit-replicated (required by the P() out_spec).
+        base_key = ts.key
+        local = ts._replace(
+            key=jax.random.fold_in(base_key, jax.lax.axis_index(ENV_AXIS)))
+        ts2, env_state, obs, metrics = train_iter(local, env_state, obs)
+        ts2 = ts2._replace(key=jax.random.split(base_key)[0])
+        metrics = {k: jax.lax.pmean(v, ENV_AXIS) for k, v in metrics.items()}
+        return ts2, env_state, obs, metrics
+
     sharded_train = shard_map(
-        train_iter, mesh=mesh,
+        shard_iter, mesh=mesh,
         in_specs=(ts_spec, env_spec, env_spec),
         out_specs=(ts_spec, env_spec, env_spec, ts_spec),
         check_rep=False,

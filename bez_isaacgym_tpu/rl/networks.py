@@ -50,12 +50,23 @@ class RunningMeanStd(NamedTuple):
                               var=jnp.ones(shape, F32),
                               count=jnp.asarray(1e-4, F32))
 
-    def update(self, batch: jnp.ndarray) -> "RunningMeanStd":
-        """Merge batch moments (batch axis 0 ... -2) via Chan's algorithm."""
+    def update(self, batch: jnp.ndarray,
+               axis_name: str | None = None) -> "RunningMeanStd":
+        """Merge batch moments (batch axis 0 ... -2) via Chan's algorithm.
+
+        axis_name: mesh axis to psum the batch moments over, so every data-
+        parallel shard folds in the *global* batch and the replicated stats
+        stay bit-identical across shards (single-host equivalence)."""
         axes = tuple(range(batch.ndim - self.mean.ndim))
         b_mean = jnp.mean(batch, axis=axes)
         b_var = jnp.var(batch, axis=axes)
         b_count = jnp.asarray(batch.size / max(1, self.mean.size), F32)
+        if axis_name is not None:
+            tot = jax.lax.psum(b_count, axis_name)
+            g_mean = jax.lax.psum(b_mean * b_count, axis_name) / tot
+            g_var = jax.lax.psum(
+                (b_var + (b_mean - g_mean) ** 2) * b_count, axis_name) / tot
+            b_mean, b_var, b_count = g_mean, g_var, tot
         delta = b_mean - self.mean
         tot = self.count + b_count
         new_mean = self.mean + delta * b_count / tot

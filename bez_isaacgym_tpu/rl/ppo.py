@@ -73,6 +73,9 @@ class Transition(NamedTuple):
     time_out: jnp.ndarray
     mu: jnp.ndarray
     log_std: jnp.ndarray
+    ep_ret: jnp.ndarray       # cumulative unscaled episode reward incl. this
+                              # step (valid as episode return where done)
+    ep_len: jnp.ndarray       # steps since episode start (valid where done)
 
 
 def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
@@ -83,11 +86,20 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
     single chip).
     """
     net = ActorCritic(num_actions=task.num_actions, units=cfg.units)
+    # The adaptive-KL learning rate lives in TrainState.lr and is applied
+    # explicitly to the updates below — no optax internals are touched
+    # (robust across optax versions; pinned by tests/test_rl.py).
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),
-        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate),
+        optax.scale_by_adam(),
     )
-    action_limit = task.cfg.clip_actions
+    # rl-games action-space parity: the env's action space is Box(-1, 1)
+    # (vec_task.py:95) and rescale_actions with low/high = +-1 is the
+    # identity (players.py:11-15, a2c clip_actions), so env actions are
+    # clip(sampled, -1, 1) — joint-position offsets in [-1, 1] rad.  The
+    # env-side clip_actions=3.9 clamp (vec_task.py:317) happens inside the
+    # task's _pre_physics and is a no-op on these.
+    action_limit = 1.0
 
     def _pmean(x):
         if axis_name is None:
@@ -134,7 +146,9 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
             out = task.step_batch(env_s, env_action)
             tr = Transition(obs=obs, action=action, logp=logp, value=value,
                             reward=out.reward, done=out.done,
-                            time_out=out.time_out, mu=mu, log_std=log_std)
+                            time_out=out.time_out, mu=mu, log_std=log_std,
+                            ep_ret=out.state.ep_reward,
+                            ep_len=out.state.progress.astype(F32))
             return (out.state, out.obs, key), tr
 
         (env_state, last_obs, key), traj = jax.lax.scan(
@@ -175,9 +189,8 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
         num_mb = max(1, n // cfg.minibatch_size)
 
         if cfg.normalize_value:
-            # NB: per-shard running stats under data parallelism; synced
-            # only through pmean'd gradients (single-host exact).
-            ts = ts._replace(value_rms=ts.value_rms.update(returns))
+            ts = ts._replace(
+                value_rms=ts.value_rms.update(returns, axis_name=axis_name))
             returns_n = ts.value_rms.normalize(returns)
         else:
             returns_n = returns
@@ -232,11 +245,8 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
             lr = jnp.where(kl > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
             lr = jnp.where(kl < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
             lr = jnp.clip(lr, 1e-6, 1e-2)
-            inject = opt_state[1]._replace(
-                hyperparams={**opt_state[1].hyperparams,
-                             "learning_rate": lr})
-            opt_state = (opt_state[0], inject)
             updates, opt_state2 = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
             params = optax.apply_updates(params, updates)
             return (params, opt_state2, lr, key), (loss, aux[0], aux[1],
                                                    aux[2], kl)
@@ -265,16 +275,25 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
         ts, env_state, last_obs, traj = rollout(ts, env_state, last_obs)
         if cfg.normalize_input:
             ts = ts._replace(obs_rms=ts.obs_rms.update(
-                traj.obs.reshape(-1, task.num_obs)))
+                traj.obs.reshape(-1, task.num_obs), axis_name=axis_name))
         adv, returns = compute_gae(ts, traj, last_obs)
 
         flat = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:]), traj)
         ts, metrics = update(ts, flat, adv.reshape(-1), returns.reshape(-1))
+        done_f = traj.done.astype(F32)
+        n_done = done_f.sum()
         metrics.update({
             "reward_mean": traj.reward.mean(),
-            "done_frac": traj.done.astype(F32).mean(),
+            "done_frac": done_f.mean(),
             "value_mean": traj.value.mean(),
+            # Mean return/length of episodes that completed this iter
+            # (RLGPUAlgoObserver's episode means, rlgames_utils.py:130-154).
+            "ep_reward_mean": jnp.where(
+                n_done > 0, (traj.ep_ret * done_f).sum() / n_done.clip(1), 0.0),
+            "ep_len_mean": jnp.where(
+                n_done > 0, (traj.ep_len * done_f).sum() / n_done.clip(1), 0.0),
+            "ep_count": n_done,
         })
         return ts, env_state, last_obs, metrics
 

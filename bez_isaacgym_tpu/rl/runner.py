@@ -45,7 +45,12 @@ class Runner:
         ts = self.init_fn(jax.random.PRNGKey(cfg.seed))
         keys = jax.random.split(jax.random.PRNGKey(cfg.seed + 1), cfg.num_envs)
         env_state = jax.jit(jax.vmap(self.task.reset_one))(keys)
-        obs = jnp.zeros((cfg.num_envs, self.task.num_obs), jnp.float32)
+        # Initial obs from the freshly reset envs (the reference's reset()
+        # performs a zero-action step+observe; observing the reset state
+        # keeps progress=0 while giving the first rollout a real obs).
+        zero_act = jnp.zeros(self.task.num_actions, jnp.float32)
+        obs, env_state = jax.jit(jax.vmap(
+            lambda s: self.task.observe(s, zero_act)))(env_state)
         if self.mesh is not None:
             from bez_isaacgym_tpu.parallel.mesh import env_sharding, replicated
             ts = jax.device_put(ts, replicated(self.mesh))
@@ -64,22 +69,34 @@ class Runner:
 
         frames_per_iter = cfg.num_envs * cfg.train.horizon
         best_reward = -np.inf
+        ep_reward_ema = None   # smoothed completed-episode return
         iters = max_iterations or cfg.max_iterations
         for it in range(1, iters + 1):
             ts, env_state, obs, metrics = self.train_iter(ts, env_state, obs)
+            # Smooth the episode return (episodes complete sparsely within a
+            # 32-step horizon); this is the score the reference logs/ranks
+            # checkpoints by (rlgames_utils.py:145-151, mean scores).
+            if float(metrics.get("ep_count", 0.0)) > 0:
+                er = float(metrics["ep_reward_mean"])
+                ep_reward_ema = er if ep_reward_ema is None else \
+                    0.9 * ep_reward_ema + 0.1 * er
+            score = ep_reward_ema if ep_reward_ema is not None else \
+                float(metrics["reward_mean"])
             if it % cfg.log_frequency == 0 or it == 1:
                 m = {k: float(v) for k, v in metrics.items()}
+                m["ep_reward_ema"] = score
                 logger.log(it, it * frames_per_iter, m)
-                print(f"iter {it}: reward/step {m['reward_mean']:.4f} "
+                print(f"iter {it}: ep_reward {score:.2f} "
+                      f"reward/step {m['reward_mean']:.4f} "
                       f"kl {m['kl']:.4f} lr {m['lr']:.2e} "
-                      f"done% {100 * m['done_frac']:.1f}")
-            reward = float(metrics["reward_mean"])
+                      f"done% {100 * m['done_frac']:.1f} "
+                      f"ep_len {m['ep_len_mean']:.0f}")
             if it % cfg.save_frequency == 0:
                 path = os.path.join(
-                    self.run_dir, ckpt.checkpoint_name(cfg.name, it, reward))
+                    self.run_dir, ckpt.checkpoint_name(cfg.name, it, score))
                 ckpt.save(path, ts)
-            if it > cfg.save_best_after and reward > best_reward:
-                best_reward = reward
+            if it > cfg.save_best_after and score > best_reward:
+                best_reward = score
                 # Single overwritten best file (the reference re-saves
                 # "<name>_<epoch>.pth on new best"; one file avoids spam).
                 ckpt.save(os.path.join(self.run_dir, f"{cfg.name}_best.ckpt"),

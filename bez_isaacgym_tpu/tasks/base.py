@@ -30,28 +30,12 @@ from bez_isaacgym_tpu.ops import sensors
 from bez_isaacgym_tpu.ops.engine import (PhysicsState, SceneConfig,
                                          default_state, make_batched_step_fn,
                                          make_step_fn)
+from bez_isaacgym_tpu.tasks import dr as dr_engine
+from bez_isaacgym_tpu.tasks.dr import DomainRandConfig, RandSpec  # noqa: F401
+                                       # (re-exported: the task-facing DR
+                                       # surface lives in tasks/dr.py)
 
 F32 = jnp.float32
-
-
-@dataclass(frozen=True)
-class DomainRandConfig:
-    """Domain-randomization spec (bez_kick.yaml:151-219, vec_task.py:505-725).
-
-    Ranges follow the reference: obs/action additive gaussian noise,
-    mass/friction/gain scaling at reset, additive gravity noise.  Schedules
-    ramp linearly over `schedule_steps` global env steps.
-    """
-
-    enabled: bool = False
-    obs_noise_std: float = 0.002
-    action_noise_std: float = 0.02
-    gravity_noise_std: float = 0.4
-    mass_scale_range: tuple[float, float] = (0.5, 1.5)
-    friction_scale_range: tuple[float, float] = (0.7, 1.3)
-    kp_scale_range: tuple[float, float] = (0.5, 1.5)
-    kd_scale_range: tuple[float, float] = (0.5, 1.5)
-    schedule_steps: int = 3000
 
 
 @dataclass(frozen=True)
@@ -100,6 +84,11 @@ class EnvState(NamedTuple):
     key: jnp.ndarray               # PRNG key
     dr_step: jnp.ndarray           # () int32 env steps since training start
                                    # (drives DR schedules; never reset)
+    ep_reward: jnp.ndarray         # () f32 cumulative unscaled reward this
+                                   # episode (for episode-return metrics)
+    last_rand_step: jnp.ndarray    # () int32 dr_step at the last dynamics
+                                   # re-randomization (DR frequency gate,
+                                   # vec_task.py:524-530 randomize_buf)
 
 
 class StepOutput(NamedTuple):
@@ -159,41 +148,35 @@ class BezTask:
         self._foot_bodies = (lf, rf)
 
     # ------------------------------------------------------------------ reset
-    def _sample_dyn(self, key, dr_scale=1.0) -> DynParams:
-        """Per-env dynamics randomization at reset (vec_task.py:620-713).
-
-        dr_scale in [0,1] implements the reference's linear schedules
-        (bez_kick.yaml:168-169,179-180: interpolate between no randomization
-        and the full range over schedule_steps env steps)."""
+    def _sample_dyn(self, key, dr_step=0) -> DynParams:
+        """Per-env dynamics randomization (vec_task.py:620-713, spec
+        bez_kick.yaml:151-219): per-parameter gaussian/uniform with
+        additive/scaling ops and linear/constant schedules, evaluated at
+        schedule position `dr_step` (env steps since training start)."""
         p = self.base_params
         dr = self.cfg.dr
         if not dr.enabled:
             return p
-
-        def scaled(lo, hi):
-            return 1.0 + (lo - 1.0) * dr_scale, 1.0 + (hi - 1.0) * dr_scale
-
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        mass = jax.random.uniform(k1, (self.model.nb,), F32,
-                                  *scaled(*dr.mass_scale_range))
-        fric = jax.random.uniform(k2, (), F32,
-                                  *scaled(*dr.friction_scale_range))
-        kp = jax.random.uniform(k3, (self.model.nq,), F32,
-                                *scaled(*dr.kp_scale_range))
-        kd = jax.random.uniform(k4, (self.model.nq,), F32,
-                                *scaled(*dr.kd_scale_range))
-        grav = dr.gravity_noise_std * dr_scale * \
-            jax.random.normal(k5, (3,), F32)
+        ks = jax.random.split(key, 8)
+        mass = dr_engine.apply(ks[0], dr.body_mass, p.mass_scale, dr_step)
+        fric = dr_engine.apply(ks[1], dr.shape_friction,
+                               p.ground_friction, dr_step)
+        rest = dr_engine.apply(ks[2], dr.shape_restitution,
+                               p.restitution, dr_step)
+        kp = dr_engine.apply(ks[3], dr.dof_stiffness, p.kp, dr_step)
+        kd = dr_engine.apply(ks[4], dr.dof_damping, p.kd, dr_step)
+        grav = dr_engine.apply(ks[5], dr.gravity, p.gravity, dr_step)
+        lo = dr_engine.apply(ks[6], dr.dof_lower, p.dof_lower, dr_step)
+        hi = dr_engine.apply(ks[7], dr.dof_upper, p.dof_upper, dr_step)
         return p._replace(
-            mass_scale=p.mass_scale * mass,
-            ground_friction=p.ground_friction * fric,
-            kp=p.kp * kp, kd=p.kd * kd,
-            gravity=p.gravity + grav)
+            mass_scale=mass, ground_friction=fric, restitution=rest,
+            kp=kp, kd=kd, gravity=grav,
+            dof_lower=jnp.minimum(lo, hi), dof_upper=jnp.maximum(lo, hi))
 
-    def reset_one(self, key, dr_scale=0.0) -> EnvState:
+    def reset_one(self, key, dr_step=0) -> EnvState:
         """Fresh env state with reference reset noise (kick_env.py:786-791).
 
-        dr_scale: DR schedule position (0 at training start; auto-resets
+        dr_step: DR schedule position (0 at training start; auto-resets
         re-sample at the live schedule position, see _post_physics)."""
         cfg = self.cfg
         k_pos, k_vel, k_dyn, k_task, k_next = jax.random.split(key, 5)
@@ -209,7 +192,7 @@ class BezTask:
             qd=qd, ball_vel=jnp.asarray(cfg.ball_init_vel, F32))
         state = EnvState(
             physics=physics,
-            dyn=self._sample_dyn(k_dyn, dr_scale),
+            dyn=self._sample_dyn(k_dyn, dr_step),
             prev_lin_vel=jnp.zeros(3, F32),
             progress=jnp.zeros((), jnp.int32),
             done=jnp.zeros((), bool),
@@ -218,6 +201,8 @@ class BezTask:
             ball_init=jnp.asarray(cfg.ball_init_pos[:2], F32),
             key=k_next,
             dr_step=jnp.zeros((), jnp.int32),
+            ep_reward=jnp.zeros((), F32),
+            last_rand_step=jnp.asarray(dr_step, jnp.int32),
         )
         return self.task_reset(state, k_task)
 
@@ -231,12 +216,13 @@ class BezTask:
         cfg = self.cfg
         key, k_act, k_obs, k_reset = jax.random.split(state.key, 4)
         if cfg.dr.enabled:
-            action = action + cfg.dr.action_noise_std * jax.random.normal(
-                k_act, action.shape, F32)
+            # Action-noise DR (vec_task.py:314-315, spec bez_kick.yaml:157).
+            action = dr_engine.apply(k_act, cfg.dr.actions, action,
+                                     state.dr_step)
         action = jnp.clip(action, -cfg.clip_actions, cfg.clip_actions)
         action = action.at[0:2].set(0.0)  # head motors zeroed
         targets = jnp.clip(action + self.default_dof_pos,
-                           self.dof_lower, self.dof_upper)
+                           state.dyn.dof_lower, state.dyn.dof_upper)
         return state._replace(key=key), action, targets, k_obs, k_reset
 
     def _post_physics(self, state: EnvState, physics, action,
@@ -246,20 +232,40 @@ class BezTask:
         cfg = self.cfg
         stepped = state._replace(physics=physics, progress=state.progress + 1,
                                  dr_step=state.dr_step + 1)
-        dr_scale = jnp.clip(
-            stepped.dr_step.astype(F32) / cfg.dr.schedule_steps, 0.0, 1.0)
-        fresh = self.reset_one(k_reset, dr_scale)
+        fresh = self.reset_one(k_reset, stepped.dr_step)
         state2 = jax.tree.map(lambda a, b: jnp.where(state.done, a, b),
                               fresh, stepped)
         # The DR schedule clock survives resets.
         state2 = state2._replace(dr_step=stepped.dr_step)
+        if cfg.dr.enabled:
+            # Frequency gate (vec_task.py:524-530): a resetting env only
+            # re-randomizes its dynamics once >= frequency env steps have
+            # passed since its last randomization; otherwise it keeps the
+            # previous draw.  setup_only properties (mass,
+            # bez_kick.yaml:175) are never re-randomized after creation.
+            due = state.done & (
+                (stepped.dr_step - state.last_rand_step) >= cfg.dr.frequency)
+            new_dyn = jax.tree.map(lambda f, o: jnp.where(due, f, o),
+                                   state2.dyn, stepped.dyn)
+            if cfg.dr.body_mass.setup_only:
+                new_dyn = new_dyn._replace(mass_scale=stepped.dyn.mass_scale)
+            state2 = state2._replace(
+                dyn=new_dyn,
+                last_rand_step=jnp.where(due, stepped.dr_step,
+                                         state.last_rand_step))
         obs, state3 = self.observe(state2, action)
         if cfg.dr.enabled:
-            obs = obs + cfg.dr.obs_noise_std * jax.random.normal(
-                k_obs, obs.shape, F32)
+            # Observation-noise DR (vec_task.py:337-338, bez_kick.yaml:153).
+            obs = dr_engine.apply(k_obs, cfg.dr.observations, obs,
+                                  state.dr_step)
         reward, done = self.reward_done(state3, action)
-        time_out = state3.progress >= cfg.max_episode_length - 1
-        state4 = state3._replace(done=done)
+        # Reference fills timeout_buf from *pre-increment* progress >= max-1
+        # (vec_task.py:331-332), i.e. post-increment progress >= max — the
+        # same step the horizon reset fires, so rl-games' value bootstrap
+        # (gamma*V on time_outs) applies exactly at horizon terminations.
+        time_out = state3.progress >= cfg.max_episode_length
+        state4 = state3._replace(done=done,
+                                 ep_reward=state3.ep_reward + reward)
         return StepOutput(state=state4, obs=obs, reward=reward, done=done,
                           time_out=time_out)
 

@@ -80,8 +80,6 @@ def _set_dotted(obj: Any, path: list[str], value: str) -> Any:
     if len(path) == 1:
         new = _convert(value, current)
     else:
-        if current is None and name == "task_cfg":
-            current = TaskConfig()
         new = _set_dotted(current, path[1:], value)
     if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
         return dataclasses.replace(obj, **{name: new})
@@ -89,12 +87,27 @@ def _set_dotted(obj: Any, path: list[str], value: str) -> Any:
 
 
 def parse_overrides(argv: list[str], cfg: RunConfig | None = None) -> RunConfig:
+    """Apply `key=value` dotted overrides.
+
+    task_cfg.* overrides are applied last, against the *selected task's*
+    default config (not a bare TaskConfig) — so
+    `task=bez_walk task_cfg.dr.enabled=True` keeps walk's episode length,
+    goal, and asset settings.
+    """
     cfg = cfg or RunConfig()
+    deferred: list[tuple[str, str]] = []
     for arg in argv:
         if "=" not in arg:
             raise ValueError(f"expected key=value, got {arg!r}")
         key, value = arg.split("=", 1)
         # train.* maps into PPOConfig, task_cfg.* into TaskConfig.
+        if key.split(".")[0] == "task_cfg" and len(key.split(".")) > 1:
+            deferred.append((key, value))
+            continue
+        cfg = _set_dotted(cfg, key.split("."), value)
+    if deferred and cfg.task_cfg is None:
+        cfg = dataclasses.replace(cfg, task_cfg=cfg.resolved_task_cfg())
+    for key, value in deferred:
         cfg = _set_dotted(cfg, key.split("."), value)
     return cfg
 

@@ -163,18 +163,21 @@ def test_standing_balance(setup, model):
     cfg, params, q0, step = setup
     state = default_state(model, cfg, q0, (0, 0, 0.34), (0, 0, 0, 1))
     heights = []
+    normal_sums = []
     for i in range(180):
         state = step(params, state, q0)
         if i >= 60:
             heights.append(float(state.base_pos[2]))
+            normal_sums.append(float(state.sensor_normal.sum()))
     assert not np.isnan(np.asarray(state.q)).any()
     assert abs(np.mean(heights) - READY_HEIGHT) < 0.01, np.mean(heights)
     assert np.std(heights) < 2e-3
     # Upright: quaternion stays close to identity.
     assert float(state.base_quat[3]) > 0.995
-    # Weight on the feet: sensors sum ~ m g.
-    total = float(state.sensor_normal.sum())
-    assert abs(total - model.mass.sum() * 9.81) < 5.0
+    # Weight on the feet: sensors average ~ m g over the settled window
+    # (instantaneous sums oscillate with the compliant-contact sway).
+    total = float(np.mean(normal_sums))
+    assert abs(total - model.mass.sum() * 9.81) < 5.0, total
 
 
 def test_ball_rests_on_ground(setup, model):

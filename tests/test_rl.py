@@ -92,3 +92,53 @@ def test_checkpoint_name_parity():
     from bez_isaacgym_tpu.utils.checkpoint import checkpoint_name, latest
     assert checkpoint_name("Bez_Kick", 33, 5981.31) == \
         "Bez_Kick_33_rew_5981.31.ckpt"
+
+
+def test_running_mean_std_psum_matches_global():
+    """Sharded update with axis_name == single update on the full batch
+    (round-2 fix: replicated stats stay identical under DP)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from bez_isaacgym_tpu.parallel.mesh import env_mesh
+
+    devices = jax.devices("cpu")
+    mesh = env_mesh(devices[:8])
+    rng = np.random.default_rng(3)
+    batch = jnp.asarray(rng.normal(2.0, 3.0, size=(64, 5)).astype(np.float32))
+    rms0 = RunningMeanStd.create((5,))
+
+    def upd(rms, x):
+        return rms.update(x, axis_name="env")
+
+    sharded = shard_map(upd, mesh=mesh, in_specs=(P(), P("env")),
+                        out_specs=P(), check_rep=False)
+    rms_sh = jax.jit(sharded)(rms0, batch)
+    rms_ref = rms0.update(batch)
+    np.testing.assert_allclose(np.asarray(rms_sh.mean),
+                               np.asarray(rms_ref.mean), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rms_sh.var),
+                               np.asarray(rms_ref.var), rtol=1e-4)
+    np.testing.assert_allclose(float(rms_sh.count), float(rms_ref.count),
+                               rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_adaptive_lr_rises_when_kl_small():
+    """Pins the adaptive-KL LR schedule (rl-games AdaptiveScheduler):
+    near-zero KL (tiny lr -> policy barely moves) must raise the LR by the
+    1.5x rule, and the LR must live in TrainState (no optax internals)."""
+    task = KickTask(TaskConfig(substeps=1))
+    # normalize_input=False so the first minibatch's policy is bit-identical
+    # to the rollout policy -> kl == 0 exactly.
+    cfg = PPOConfig(horizon=2, minibatch_size=8, mini_epochs=1,
+                    units=(16, 16), learning_rate=1e-6,
+                    normalize_input=False)
+    num_envs = 4
+    init_fn, train_iter, _ = make_ppo(task, num_envs, cfg)
+    ts = init_fn(jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(1), num_envs)
+    env_state = jax.jit(jax.vmap(task.reset_one))(keys)
+    obs = jnp.zeros((num_envs, task.num_obs), jnp.float32)
+    ts2, *_ = jax.jit(train_iter)(ts, env_state, obs)
+    # kl ~= 0 < 0.5*threshold on the single minibatch -> lr *= 1.5.
+    np.testing.assert_allclose(float(ts2.lr), 1.5e-6, rtol=1e-5)

