@@ -1,0 +1,26 @@
+import json
+import numpy as np
+from bez_isaacgym_tpu.control.controller import SoccerbotController
+from bez_isaacgym_tpu.control.transformation import Transformation
+from bez_isaacgym_tpu.eval.tracking import rate_limited_oracle, _drive, _rel_err
+from bez_isaacgym_tpu.tasks.base import TaskConfig
+from bez_isaacgym_tpu.tasks.walk import WalkTask
+
+ctrl = SoccerbotController()
+times, angles = ctrl.plan_joint_trajectory(Transformation.from_xy_theta(0.5, 0.0, 0.0))
+t60 = np.arange(0, times[-1], 1 / 60)
+raw = np.stack([np.interp(t60, times, angles[:, j]) for j in range(18)], axis=1)
+oracle = rate_limited_oracle(raw, 1 / 60)
+task = WalkTask(TaskConfig(substeps=4, episode_length_s=30.0))
+h = (1/60)/4
+qd = np.gradient(raw, t60, axis=0)
+lead_full = (h*100.0 + 7.5)/100.0
+jr = oracle.max(0) - oracle.min(0) + 1e-6
+mv = jr > 0.05
+for alpha in (0.0, 0.25, 0.5, 0.75, 1.0):
+    cmd = raw + alpha * lead_full * qd
+    ach, state = _drive(task, cmd)
+    rms = np.sqrt(((ach - oracle) ** 2).mean(0))
+    rel = float((rms[mv]/jr[mv]).mean())
+    print(json.dumps({"alpha": alpha, "rel": round(rel, 4),
+                      "final_x": round(float(state.physics.base_pos[0]), 3)}))

@@ -76,3 +76,78 @@ class SoccerbotController:
             bot.step_path(min(t, duration))
             angles[i] = bot.get_angles()
         return times, angles
+
+
+def feedforward_targets(times: np.ndarray, angles: np.ndarray,
+                        kp: float = 100.0, kd: float = 7.5,
+                        h: float = 1.0 / 240.0) -> np.ndarray:
+    """Velocity-lead feedforward for Stable-PD position tracking.
+
+    The engine's Stable-PD torque is kp*(target - q) - (h*kp + kd)*qd
+    (ops/engine.py); in steady tracking (q ~ q_des, qd ~ qd_des) the damping
+    term causes a lag of (h*kp + kd)/kp * qd_des.  Commanding
+        target = q_des + (h*kp + kd)/kp * qd_des
+    cancels it exactly, which is the dominant tracking-error term for the
+    walking gait (gravity torques contribute only ~tau_g/kp ~ 5 mrad).
+
+    times/angles: the planner output (T,), (T, 18); h: physics substep.
+    Returns the lead-compensated (T, 18) target plan.
+    """
+    qd = np.gradient(angles, times, axis=0)
+    lead = (h * kp + kd) / kp
+    return angles + lead * qd
+
+
+def id_feedforward_targets(task, times: np.ndarray, angles: np.ndarray,
+                           include_bias: bool = True) -> np.ndarray:
+    """Computed-torque feedforward via the engine's own inverse dynamics.
+
+    Required joint torque along the desired trajectory (base assumed
+    stationary, qdd from finite differences):
+        tau_req = (H(q_des) @ [0, qdd_des] + bias(q_des, qd_des))[6:]
+    Commanding
+        target = q_des + ((h*kp + kd)*qd_des + tau_req) / kp
+    turns the engine's Stable-PD (ops/engine.py:190-192) into a full
+    computed-torque controller:
+        tau = kp*(q_des - q) + (h*kp + kd)*(qd_des - qd) + tau_req.
+    This is the VERDICT-prescribed fix for the PD-lag-dominated tracking
+    error (docs/STATUS.md round-1 gap #1).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bez_isaacgym_tpu.ops import dynamics as dyn
+    from bez_isaacgym_tpu.ops import kinematics as kin
+
+    model, params = task.model, task.base_params
+    kp = np.asarray(params.kp)
+    kd = np.asarray(params.kd)
+    h = task.cfg.dt / task.cfg.substeps
+    qd = np.gradient(angles, times, axis=0)
+    qdd = np.gradient(qd, times, axis=0)
+    mask = kin.ancestor_mask(model)
+    base_pos = jnp.asarray(task.cfg.bez_init_pos, jnp.float32)
+    base_quat = jnp.asarray(task.cfg.bez_init_rot, jnp.float32)
+
+    def tau_of(q, qdv, qddv):
+        frames = kin.forward_kinematics(model, q, base_pos, base_quat)
+        J_lin, J_ang = kin.com_jacobians(model, frames, mask)
+        u = jnp.concatenate([jnp.zeros(6, q.dtype), qdv])
+        vel = dyn.body_velocities(J_lin, J_ang, u)
+        m, I_w = dyn.world_inertias(model, frames,
+                                    jnp.asarray(params.mass_scale, q.dtype))
+        alpha0, a0 = dyn.bias_accelerations(model, frames, vel, qdv)
+        H = dyn.mass_matrix(J_lin, J_ang, m, I_w,
+                            jnp.asarray(params.armature, q.dtype))
+        udot = jnp.concatenate([jnp.zeros(6, q.dtype), qddv])
+        tau = (H @ udot)[6:]
+        if include_bias:
+            bias = dyn.bias_force(J_lin, J_ang, m, I_w, vel, alpha0, a0,
+                                  jnp.asarray(params.gravity, q.dtype))
+            tau = tau + bias[6:]
+        return tau
+
+    tau_req = np.asarray(jax.jit(jax.vmap(tau_of))(
+        jnp.asarray(angles, jnp.float32), jnp.asarray(qd, jnp.float32),
+        jnp.asarray(qdd, jnp.float32)))
+    return angles + ((h * kp + kd) * qd + tau_req) / kp

@@ -157,6 +157,38 @@ class Soccerbot:
         self.walk_pid.reset()
         self.stand_pid.reset()
 
+    # ---------------------------------------------------- pressure sensors
+    # Corner layout looking from above (soccerbot.py:375-405):
+    #   Left         Right
+    # 4-------5    0-------1
+    # |   ^   |    |   ^   |      ^
+    # |   |   |    |   |   |      | : forward
+    # 6-------7    2-------3
+    def get_foot_pressure_sensors(self, sensor_normal,
+                                  threshold: float = 0.5) -> np.ndarray:
+        """Boolean 8-vector: is each foot corner touching the ground?
+
+        Port of the reference's pybullet contact-point classifier
+        (soccerbot.py:375-405); our engine already resolves contacts per
+        cleat, so classification reduces to thresholding the per-corner
+        normal force reported in PhysicsState.sensor_normal.  The env's
+        sensor vector is ordered [left 4-7, right 0-3] (kick_env.py:467-478,
+        models/bez.FOOT_SENSOR_MAP); pycontrol's convention is
+        [right 0-3, left 4-7], so the halves are swapped here."""
+        s = np.asarray(sensor_normal)
+        return np.concatenate([s[4:8], s[0:4]]) > threshold
+
+    def apply_foot_pressure_sensor_feedback(self, sensor_normal) -> np.ndarray:
+        """Per-joint motor force budget given foot pressures
+        (soccerbot.py:511-527).
+
+        Faithful to the reference: its stance-ankle force reduction and
+        walking-speed synchronization are commented out, so the function
+        returns the unmodified per-joint effort limits; the sensor read
+        is still performed (and exposed) like the original."""
+        self.get_foot_pressure_sensors(sensor_normal)
+        return np.full(len(self.configuration), 2.5)
+
     def apply_head_rotation(self):
         """Head scan pattern (soccerbot.py:500-509)."""
         self.configuration[Joints.HEAD_1] = \

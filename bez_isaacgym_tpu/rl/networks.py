@@ -95,3 +95,33 @@ def gaussian_kl(mu1, log_std1, mu2, log_std2):
     v1, v2 = jnp.exp(2.0 * log_std1), jnp.exp(2.0 * log_std2)
     return jnp.sum(log_std2 - log_std1
                    + (v1 + (mu1 - mu2) ** 2) / (2.0 * v2) - 0.5, axis=-1)
+
+
+class ActorCriticLSTM(nn.Module):
+    """Recurrent actor-critic: LSTM before the MLP, input concatenated —
+    the reference's commented-out rnn spec (bez_kickPPO.yaml:34-40: lstm,
+    128 units, 1 layer, before_mlp, concat_input, no layer_norm)."""
+
+    num_actions: int
+    units: Sequence[int] = (400, 200, 100)
+    lstm_units: int = 128
+    concat_input: bool = True
+
+    @nn.compact
+    def __call__(self, obs, carry):
+        """obs (B, num_obs), carry ((B, lstm), (B, lstm)) -> (carry', mu,
+        log_std, value)."""
+        cell = nn.OptimizedLSTMCell(self.lstm_units)
+        carry, y = cell(carry, obs)
+        x = jnp.concatenate([y, obs], axis=-1) if self.concat_input else y
+        for u in self.units:
+            x = nn.elu(nn.Dense(u)(x))
+        mu = nn.Dense(self.num_actions)(x)
+        value = nn.Dense(1)(x)[..., 0]
+        log_std = self.param("log_std", nn.initializers.zeros,
+                             (self.num_actions,))
+        return carry, mu, jnp.broadcast_to(log_std, mu.shape), value
+
+    def initial_carry(self, batch: int):
+        z = jnp.zeros((batch, self.lstm_units), F32)
+        return (z, z)

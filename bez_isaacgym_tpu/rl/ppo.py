@@ -47,6 +47,11 @@ class PPOConfig:
     reward_scale: float = 0.01       # reward_shaper scale_value
     normalize_input: bool = True
     normalize_value: bool = True
+    # Recurrent policy option (bez_kickPPO.yaml:34-40 commented rnn block):
+    # rnn_units > 0 selects the LSTM actor-critic (rl/ppo_rnn.py) trained
+    # with truncated BPTT over seq_len windows (yaml :78 seq_len 4).
+    rnn_units: int = 0
+    seq_len: int = 4
     normalize_advantage: bool = True
     value_bootstrap: bool = True
     clip_value: bool = True

@@ -28,7 +28,17 @@ class Runner:
         self.task = make_task(cfg.task, cfg.resolved_task_cfg())
         self.run_dir = os.path.join(cfg.output_dir, cfg.name)
 
-        if cfg.multi_chip and len(jax.devices()) > 1:
+        self.recurrent = cfg.train.rnn_units > 0
+        if self.recurrent:
+            # LSTM policy (bez_kickPPO.yaml:34-40 option); single-chip for
+            # now — the carry is per-env state the DP wrapper doesn't
+            # thread yet.
+            from bez_isaacgym_tpu.rl.ppo_rnn import make_ppo_rnn
+            self.mesh = None
+            init_fn, train_iter, self.act_fn, self.initial_carry = \
+                make_ppo_rnn(self.task, cfg.num_envs, cfg.train)
+            self.init_fn, self.train_iter = init_fn, jax.jit(train_iter)
+        elif cfg.multi_chip and len(jax.devices()) > 1:
             from bez_isaacgym_tpu.parallel.dp import data_parallel_ppo
             from bez_isaacgym_tpu.parallel.mesh import env_mesh
             self.mesh = env_mesh()
@@ -71,8 +81,14 @@ class Runner:
         best_reward = -np.inf
         ep_reward_ema = None   # smoothed completed-episode return
         iters = max_iterations or cfg.max_iterations
+        carry = self.initial_carry() if self.recurrent else None
         for it in range(1, iters + 1):
-            ts, env_state, obs, metrics = self.train_iter(ts, env_state, obs)
+            if self.recurrent:
+                ts, env_state, obs, carry, metrics = self.train_iter(
+                    ts, env_state, obs, carry)
+            else:
+                ts, env_state, obs, metrics = self.train_iter(
+                    ts, env_state, obs)
             # Smooth the episode return (episodes complete sparsely within a
             # 32-step horizon); this is the score the reference logs/ranks
             # checkpoints by (rlgames_utils.py:145-151, mean scores).
@@ -109,14 +125,27 @@ class Runner:
         cfg = self.cfg
         ts, env_state, obs = self._init_states()
         step = jax.jit(self.task.step_batch)
-        act = jax.jit(lambda ts, o: self.act_fn(ts, o,
-                                                deterministic=deterministic))
+        if self.recurrent:
+            act = jax.jit(lambda ts, o, c: self.act_fn(
+                ts, o, c, deterministic=deterministic))
+            carry = self.initial_carry()
+        else:
+            act = jax.jit(lambda ts, o: self.act_fn(
+                ts, o, deterministic=deterministic))
         total_reward = np.zeros(cfg.num_envs)
         episodes = 0
         ep_reward_sum = 0.0
         for _ in range(num_steps):
-            actions = act(ts, obs)
+            if self.recurrent:
+                actions, carry = act(ts, obs, carry)
+            else:
+                actions = act(ts, obs)
             out = step(env_state, actions)
+            if self.recurrent:
+                # RNN-state reset on done (play.py:196-199).
+                d = np.asarray(out.done)[:, None]
+                carry = jax.tree.map(
+                    lambda c: jnp.where(jnp.asarray(d), 0.0, c), carry)
             env_state, obs = out.state, out.obs
             r = np.asarray(out.reward)
             d = np.asarray(out.done)

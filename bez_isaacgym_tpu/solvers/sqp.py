@@ -52,6 +52,8 @@ class SQPConfig:
     reg: float = 1e-3              # Levenberg-Marquardt regularization
     line_search: tuple = (1.0, 0.5, 0.25, 0.1)
     u_clip: float = 3.9
+    parallel_riccati: bool = True  # associative-scan backward pass
+                                   # (solvers/riccati.py; O(log H) depth)
 
 
 class SQPState(NamedTuple):
@@ -120,26 +122,14 @@ class SQPSolver:
             A, Bm, cx, cu = jax.vmap(lin)(xs, U)
 
             # Riccati backward pass (Gauss-Newton: value Hessian from the
-            # LM-regularized linear model).
-            def backward(carry, inp):
-                Vx, Vxx = carry
-                A_t, B_t, cx_t, cu_t = inp
-                Qx = cx_t + A_t.T @ Vx
-                Qu = cu_t + B_t.T @ Vx
-                Qxx = A_t.T @ Vxx @ A_t + cfg.reg * jnp.eye(NX, dtype=F32)
-                Quu = B_t.T @ Vxx @ B_t + cfg.reg * jnp.eye(self.nu, dtype=F32)
-                Qux = B_t.T @ Vxx @ A_t
-                Quu_inv = jnp.linalg.inv(Quu)
-                k = -Quu_inv @ Qu
-                K = -Quu_inv @ Qux
-                Vx_new = Qx + K.T @ Qu
-                Vxx_new = Qxx + K.T @ Qux
-                Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
-                return (Vx_new, Vxx_new), (k, K)
-
-            init = (jnp.zeros(NX, F32), cfg.reg * jnp.eye(NX, dtype=F32))
-            _, (ks, Ks) = jax.lax.scan(backward, init, (A, Bm, cx, cu),
-                                       reverse=True)
+            # LM-regularized linear model).  The parallel variant evaluates
+            # the same recursion in O(log H) depth via associative scan
+            # (solvers/riccati.py; SURVEY.md §7 hard part 3).
+            from bez_isaacgym_tpu.solvers.riccati import (parallel_backward,
+                                                          sequential_backward)
+            backward = (parallel_backward if cfg.parallel_riccati
+                        else sequential_backward)
+            ks, Ks = backward(A, Bm, cx, cu, cfg.reg)
 
             # Forward pass with feedback, line-searched over alpha.
             def forward(alpha):

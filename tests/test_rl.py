@@ -142,3 +142,72 @@ def test_adaptive_lr_rises_when_kl_small():
     ts2, *_ = jax.jit(train_iter)(ts, env_state, obs)
     # kl ~= 0 < 0.5*threshold on the single minibatch -> lr *= 1.5.
     np.testing.assert_allclose(float(ts2.lr), 1.5e-6, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_ppo_rnn_train_iter():
+    """LSTM PPO (bez_kickPPO.yaml:34-40 option): one recurrent train_iter
+    runs, params update, and the rollout carry resets on done."""
+    from bez_isaacgym_tpu.rl.ppo_rnn import make_ppo_rnn
+
+    task = KickTask(TaskConfig(substeps=1))
+    cfg = PPOConfig(horizon=4, seq_len=2, minibatch_size=8, mini_epochs=1,
+                    units=(16, 16), rnn_units=8)
+    num_envs = 4
+    init_fn, train_iter, act_fn, initial_carry = make_ppo_rnn(
+        task, num_envs, cfg)
+    ts = init_fn(jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(1), num_envs)
+    env_state = jax.jit(jax.vmap(task.reset_one))(keys)
+    obs = jnp.zeros((num_envs, task.num_obs), jnp.float32)
+    carry = initial_carry()
+    ts2, env_state, obs, carry, metrics = jax.jit(train_iter)(
+        ts, env_state, obs, carry)
+    assert int(ts2.epoch) == 1
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         ts.params, ts2.params)
+    assert max(jax.tree.leaves(delta)) > 0
+    # act_fn threads the carry.
+    a, carry2 = act_fn(ts2, obs, carry)
+    assert a.shape == (num_envs, 18)
+    assert carry2[0].shape == (num_envs, cfg.rnn_units)
+    # Carry evolves with observations.
+    a2, carry3 = act_fn(ts2, obs + 1.0, carry2)
+    assert float(jnp.abs(carry3[0] - carry2[0]).max()) > 0
+
+
+def test_discrete_and_sac_players(tmp_path):
+    """Discrete/SAC player surfaces (players.py:77-219 parity)."""
+    from bez_isaacgym_tpu.rl.players import PpoPlayerDiscrete, SACPlayer
+
+    p = PpoPlayerDiscrete(num_obs=10, actions_num=5, units=(16,))
+    a = p.get_action(np.zeros((3, 10), np.float32))
+    assert a.shape == (3,) and int(a.max()) < 5
+    # Masked: only action 2 allowed.
+    mask = np.zeros((3, 5), bool)
+    mask[:, 2] = True
+    am = p.get_masked_action(np.zeros((3, 10), np.float32), mask)
+    assert np.all(np.asarray(am) == 2)
+
+    pm = PpoPlayerDiscrete(num_obs=10, actions_num=(4, 3), units=(16,))
+    amd = pm.get_action(np.zeros((2, 10), np.float32))
+    assert amd.shape == (2, 2)
+    assert int(np.asarray(amd)[:, 0].max()) < 4
+    assert int(np.asarray(amd)[:, 1].max()) < 3
+
+    task = KickTask(TaskConfig(substeps=1))
+    sac = SACPlayer(task, units=(16, 16))
+    a = sac.get_action(np.zeros((2, task.num_obs), np.float32))
+    assert a.shape == (2, 18)
+    assert float(jnp.abs(a).max()) <= 1.0 + 1e-6
+    # Checkpoint round trip (actor/critic/critic_target layout).
+    from bez_isaacgym_tpu.utils import checkpoint as ckpt
+    path = str(tmp_path / "sac.ckpt")
+    ckpt.save(path, {"actor": sac.actor_params, "critic": sac.critic_params,
+                     "critic_target": sac.critic_target_params})
+    sac2 = SACPlayer(task, units=(16, 16), seed=7)
+    sac2.restore(path)
+    a2 = sac2.get_action(np.zeros((2, task.num_obs), np.float32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a2), atol=1e-6)
