@@ -88,22 +88,53 @@ def eval_policy(checkpoint: str, num_envs: int = 64, steps: int = 600,
 def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
               seed: int = 0, horizon: int = 32, num_samples: int = 64,
               sigma: float = 0.25, temperature: float = 0.05,
-              substeps: int = 2):
-    from bez_isaacgym_tpu.solvers.mppi import MPPIConfig, MPPISolver
+              substeps: int = 2, warm_skill: str = "",
+              use_sqp: bool = False, done_penalty: float = 10.0):
+    """Closed-loop MPC kick eval.
+
+    warm_skill: keyframe skill (e.g. "simulation_rightkick") used as a
+    receding-horizon reference nominal — at tick t the solver's nominal is
+    re-seeded with the skill window [t, t+H) (HybridSolver.warm_start /
+    SURVEY.md §7 Phase 4), so sampling explores around the classical kick.
+    use_sqp: polish the MPPI winner with the SQP stage (HybridSolver).
+    """
+    from bez_isaacgym_tpu.solvers.hybrid import HybridSolver
+    from bez_isaacgym_tpu.solvers.mppi import MPPIConfig, MPPISolver, MPPIState
+    from bez_isaacgym_tpu.solvers.sqp import SQPConfig
 
     task = KickTask(TaskConfig(substeps=substeps))
-    solver = MPPISolver(task, MPPIConfig(horizon=horizon,
-                                         num_samples=num_samples,
-                                         sigma=sigma,
-                                         temperature=temperature))
-    solve = jax.jit(solver.solve)
+    mppi_cfg = MPPIConfig(horizon=horizon, num_samples=num_samples,
+                          sigma=sigma, temperature=temperature,
+                          done_penalty=done_penalty)
+    if use_sqp:
+        hybrid = HybridSolver(task, mppi_cfg,
+                              SQPConfig(horizon=horizon, iterations=1))
+        solver = hybrid.mppi
+        solve = jax.jit(hybrid.solve)
+    else:
+        hybrid = None
+        solver = MPPISolver(task, mppi_cfg)
+        solve = jax.jit(solver.solve)
     step = jax.jit(task.step_batch)
+
+    warm_plan = None
+    if warm_skill:
+        from bez_isaacgym_tpu.control.warmstart import skill_warm_start
+        # Full-length plan; window re-seeded each tick below.
+        warm_plan = [
+            jnp.asarray(skill_warm_start(task, warm_skill, horizon,
+                                         t0=t / 60.0, num=num_envs))
+            for t in range(steps)]
 
     keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
     state = jax.jit(jax.vmap(task.reset_one))(keys)
     mppi = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape),
         solver.init_state())
+    if hybrid is not None:
+        hstate = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape),
+            hybrid.init_state())
 
     goal = np.asarray(state.goal)
     ball0 = np.asarray(state.physics.ball_pos)[:, :2]
@@ -116,7 +147,16 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
 
     for t in range(steps):
         key, sub = jax.random.split(key)
-        actions, mppi, _ = solve(state, mppi, sub)
+        if warm_plan is not None:
+            nominal = warm_plan[min(t, len(warm_plan) - 1)]
+            if hybrid is not None:
+                hstate = hybrid.warm_start(hstate, nominal)
+            else:
+                mppi = MPPIState(nominal=nominal)
+        if hybrid is not None:
+            actions, hstate, _ = solve(state, hstate, sub)
+        else:
+            actions, mppi, _ = solve(state, mppi, sub)
         out = step(state, actions)
         ball = np.asarray(out.state.physics.ball_pos)[:, :2]
         height = np.asarray(out.state.physics.base_pos)[:, 2]
@@ -143,7 +183,10 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="")
-    ap.add_argument("--solver", default="", choices=["", "mppi"])
+    ap.add_argument("--solver", default="", choices=["", "mppi", "hybrid"])
+    ap.add_argument("--warm-skill", default="",
+                    help="keyframe skill for receding warm starts, e.g. "
+                         "simulation_rightkick")
     ap.add_argument("--num-envs", type=int, default=64)
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--stochastic", action="store_true")
@@ -152,10 +195,12 @@ if __name__ == "__main__":
     ap.add_argument("--num-samples", type=int, default=64)
     ap.add_argument("--horizon", type=int, default=32)
     args = ap.parse_args()
-    if args.solver == "mppi":
+    if args.solver in ("mppi", "hybrid"):
         res = eval_mppi(num_envs=args.num_envs, steps=args.steps,
                         sigma=args.sigma, temperature=args.temperature,
-                        num_samples=args.num_samples, horizon=args.horizon)
+                        num_samples=args.num_samples, horizon=args.horizon,
+                        warm_skill=args.warm_skill,
+                        use_sqp=args.solver == "hybrid")
     else:
         res = eval_policy(args.checkpoint, num_envs=args.num_envs,
                           steps=args.steps,

@@ -33,9 +33,13 @@ class MetricsLogger:
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
         if self._tb is not None:
+            # Full reference granularity (rlgames_utils.py:139-154): every
+            # scalar under {k}/iter, {k}/frame, and {k}/time.
+            wall = rec["wall_s"]
             for k, v in scalars.items():
                 self._tb.add_scalar(f"{k}/iter", float(v), step)
                 self._tb.add_scalar(f"{k}/frame", float(v), frame)
+                self._tb.add_scalar(f"{k}/time", float(v), int(wall))
 
     def close(self):
         self._jsonl.close()

@@ -85,3 +85,81 @@ def test_pallas_padding(setup):
     out = step(sparams, small, jnp.broadcast_to(q0, (n, 18)))
     assert out.q.shape == (n, 18)
     assert not np.isnan(np.asarray(out.q)).any()
+
+
+@pytest.mark.parametrize("variant", ["box", "box_sensor", "stl_sensor"])
+def test_pallas_matches_xla_all_variants(variant):
+    """Kernel/XLA parity for every asset variant, incl. the cleat-bearing
+    sensor models (round-1 gap: only 'stl' was validated under the kernel)."""
+    model = load_bez_model(variant)
+    cfg = SceneConfig(substeps=2)
+    B = 256
+    params = jax.tree.map(jnp.asarray, default_dyn_params(model))
+    bparams = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x),
+                                   (B,) + jnp.asarray(x).shape), params)
+    q0 = jnp.asarray(pose_vector(model, READY_JOINT_ANGLES), F32)
+    s0 = default_state(model, cfg, q0, (0, 0, 0.34), (0, 0, 0, 1))
+    batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), s0)
+    rng = np.random.default_rng(1)
+    batch = batch._replace(
+        q=jnp.asarray(rng.uniform(-0.1, 0.1, (B, 18)).astype(np.float32))
+        + q0[None])
+    tg = jnp.broadcast_to(q0, (B, 18))
+    ref = jax.jit(make_batched_step_fn(model, cfg))(bparams, batch, tg)
+    out = jax.jit(make_pallas_step_fn(model, cfg))(bparams, batch, tg)
+    np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.base_pos),
+                               np.asarray(ref.base_pos), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.ball_pos),
+                               np.asarray(ref.ball_pos), atol=2e-3)
+    # Foot sensors: fn = where(pen>0, kn*pen - cn*vn, 0) is DISCONTINUOUS
+    # in the approach velocity at marginal first contacts, so a handful of
+    # slots legitimately flip between the kernel's scalar f32 math and the
+    # XLA path's matmul velocities.  Assert (a) contact states agree on
+    # >= 99% of slots and (b) forces agree where both paths see contact.
+    # Per-cleat forces redistribute with sub-mm attitude differences
+    # (kn = 6000 N/m: 0.3 mm across the foot shifts ~2 N between cleats),
+    # so per-slot equality is ill-posed.  Assert what is well-posed:
+    # contact STATES agree on >= 99% of slots and the per-foot load sums
+    # (which the dynamics actually feel, and which match the q/base_pos
+    # parity asserted above) agree.
+    s_ref = np.asarray(ref.sensor_normal)
+    s_out = np.asarray(out.sensor_normal)
+    state_agree = (s_ref > 0.5) == (s_out > 0.5)
+    assert state_agree.mean() > 0.99
+    # Compare loads only on envs whose contact states fully agree — a foot
+    # striking exactly at the threshold (fn jumps by cn*vn) is the known
+    # discontinuity the >99% assert already bounds.
+    clean = state_agree.all(axis=1)
+    assert clean.mean() > 0.95
+    ref_feet = s_ref[clean].reshape(-1, 2, 4).sum(-1)
+    out_feet = s_out[clean].reshape(-1, 2, 4).sum(-1)
+    # >= 99% of feet within 30%/2 N (a marginal flip in substep 1 still
+    # shifts substep 2's vn-dominated strike force on ~0.4% of feet).
+    ok = np.abs(out_feet - ref_feet) <= 2.0 + 0.3 * np.abs(ref_feet)
+    assert ok.mean() > 0.99, ok.mean()
+
+
+def test_pallas_per_env_dof_limits(setup):
+    """The kernel honors per-env randomized joint limits (DR parity:
+    DynParams.dof_lower/dof_upper plumbed as kernel inputs)."""
+    model, cfg, bparams, batch, q0, B = setup
+    # Clamp env 0's joint-2 upper limit right at its current position; push
+    # all joints toward upper limits.
+    lo = np.asarray(bparams.dof_lower)
+    hi = np.asarray(bparams.dof_upper).copy()
+    hi[0, 2] = float(batch.q[0, 2])
+    bp = bparams._replace(dof_upper=jnp.asarray(hi))
+    tg = jnp.broadcast_to(jnp.asarray(np.asarray(bparams.dof_upper)[0],
+                                      np.float32), (B, 18))
+    step = jax.jit(make_pallas_step_fn(model, cfg))
+    out = batch
+    for _ in range(5):
+        out = step(bp, out, tg)
+    q = np.asarray(out.q)
+    # env 0 joint 2 pinned at its tightened limit; env 1 moved past it.
+    assert q[0, 2] <= hi[0, 2] + 1e-5
+    assert q[1, 2] > hi[0, 2] + 1e-3
