@@ -75,6 +75,13 @@ class SceneConfig:
     ball_inertia: float = BALL_INERTIA
     ball_rolling_friction: float = BALL_ROLLING_FRICTION
     max_joint_vel: float = 2.0 * jnp.pi   # MX-28 cap (kick_env.py:102,327)
+    # Stability guards for extreme impacts (goalie: ball shot at -10 m/s,
+    # bez_goalie.yaml:17-21 — a single penetrating substep otherwise
+    # cascades penalty forces into inf base velocities and NaNs). Normal
+    # locomotion stays far below these caps.
+    max_base_lin_vel: float = 20.0        # m/s
+    max_base_ang_vel: float = 50.0        # rad/s
+    max_ball_vel: float = 30.0            # m/s (kicked/shot ball)
     coeffs: ct.ContactCoeffs = ct.ContactCoeffs()
     friction_vel_scale: float = 0.05
 
@@ -277,12 +284,15 @@ def _integrate(model: RobotModel, cfg: SceneConfig, params: DynParams,
     at_limit = (q_new < lower) | (q_new > upper)
     qd_new = jnp.where(at_limit, 0.0, qd_new)
 
-    base_u_new = u_new[:6]
+    base_u_new = jnp.concatenate([
+        jnp.clip(u_new[0:3], -cfg.max_base_lin_vel, cfg.max_base_lin_vel),
+        jnp.clip(u_new[3:6], -cfg.max_base_ang_vel, cfg.max_base_ang_vel)])
     base_pos_new = state.base_pos + h * base_u_new[:3]
     base_quat_new = quat_integrate(state.base_quat, base_u_new[3:6], h)
 
     if cfg.has_ball:
-        ball_vel = state.ball_vel + h * aux.ball_F / cfg.ball_mass
+        ball_vel = jnp.clip(state.ball_vel + h * aux.ball_F / cfg.ball_mass,
+                            -cfg.max_ball_vel, cfg.max_ball_vel)
         ball_ang = state.ball_ang + h * aux.ball_N / cfg.ball_inertia
         ball_pos = state.ball_pos + h * ball_vel
         ball_quat = quat_integrate(state.ball_quat, ball_ang, h)

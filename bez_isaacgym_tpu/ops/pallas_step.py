@@ -461,6 +461,13 @@ def _substep_kernel(model: RobotModel, cfg: SceneConfig, h: float,
         qdn = jnp.where(at_lim, 0.0, qdn)
         oq_ref[j] = qc
         oqd_ref[j] = qdn
+    # Base velocity caps (extreme-impact stability guards; see
+    # ops.engine.SceneConfig.max_base_*).
+    for i in range(3):
+        u_new[i] = jnp.clip(u_new[i], -cfg.max_base_lin_vel,
+                            cfg.max_base_lin_vel)
+        u_new[3 + i] = jnp.clip(u_new[3 + i], -cfg.max_base_ang_vel,
+                                cfg.max_base_ang_vel)
     for i in range(3):
         obpos_ref[i] = base_pos[i] + h * u_new[i]
     # quaternion exp-map integration
@@ -485,7 +492,9 @@ def _substep_kernel(model: RobotModel, cfg: SceneConfig, h: float,
 
     if cfg.has_ball:
         bm, bi = cfg.ball_mass, cfg.ball_inertia
-        bv_new = [ballv[i] + h * ball_F[i] / bm for i in range(3)]
+        bv_new = [jnp.clip(ballv[i] + h * ball_F[i] / bm,
+                           -cfg.max_ball_vel, cfg.max_ball_vel)
+                  for i in range(3)]
         bw_new = [ballw[i] + h * ball_N[i] / bi for i in range(3)]
         for i in range(3):
             oballv_ref[i] = bv_new[i]

@@ -29,10 +29,15 @@ class Runner:
         self.run_dir = os.path.join(cfg.output_dir, cfg.name)
 
         self.recurrent = cfg.train.rnn_units > 0
-        if self.recurrent:
-            # LSTM policy (bez_kickPPO.yaml:34-40 option); single-chip for
-            # now — the carry is per-env state the DP wrapper doesn't
-            # thread yet.
+        if self.recurrent and cfg.multi_chip and len(jax.devices()) > 1:
+            from bez_isaacgym_tpu.parallel.dp import data_parallel_ppo
+            from bez_isaacgym_tpu.parallel.mesh import env_mesh
+            self.mesh = env_mesh()
+            (self.init_fn, self.train_iter, self.act_fn,
+             self.initial_carry) = data_parallel_ppo(
+                self.task, cfg.num_envs, self.mesh, cfg.train)
+        elif self.recurrent:
+            # LSTM policy (bez_kickPPO.yaml:34-40 option), single chip.
             from bez_isaacgym_tpu.rl.ppo_rnn import make_ppo_rnn
             self.mesh = None
             init_fn, train_iter, self.act_fn, self.initial_carry = \
@@ -82,6 +87,9 @@ class Runner:
         ep_reward_ema = None   # smoothed completed-episode return
         iters = max_iterations or cfg.max_iterations
         carry = self.initial_carry() if self.recurrent else None
+        if self.recurrent and self.mesh is not None:
+            from bez_isaacgym_tpu.parallel.mesh import env_sharding
+            carry = jax.device_put(carry, env_sharding(self.mesh))
         for it in range(1, iters + 1):
             if self.recurrent:
                 ts, env_state, obs, carry, metrics = self.train_iter(
@@ -120,9 +128,10 @@ class Runner:
         logger.close()
         return ts
 
-    def play(self, num_steps: int = 600, deterministic: bool = True):
+    def play(self, num_steps: int | None = None, deterministic: bool = True):
         """Checkpoint inference loop (play.py:125-236 parity)."""
         cfg = self.cfg
+        num_steps = num_steps or cfg.play_steps
         ts, env_state, obs = self._init_states()
         step = jax.jit(self.task.step_batch)
         if self.recurrent:
@@ -135,7 +144,11 @@ class Runner:
         total_reward = np.zeros(cfg.num_envs)
         episodes = 0
         ep_reward_sum = 0.0
+        frames = [] if cfg.render else None
         for _ in range(num_steps):
+            if frames is not None:
+                frames.append(jax.tree.map(lambda x: np.asarray(x[0]),
+                                           env_state.physics))
             if self.recurrent:
                 actions, carry = act(ts, obs, carry)
             else:
@@ -156,4 +169,8 @@ class Runner:
         mean_ep = ep_reward_sum / max(1, episodes)
         print(f"played {num_steps} steps, {episodes} episodes, "
               f"mean episode reward {mean_ep:.2f}")
+        if frames is not None:
+            from bez_isaacgym_tpu.viz.render import render_episode
+            render_episode(self.task.model, frames, cfg.render)
+            print(f"wrote episode render to {cfg.render}")
         return mean_ep

@@ -38,6 +38,10 @@ class RunConfig:
     save_best_after: int = 100        # bez_kickPPO.yaml:65
     log_frequency: int = 10
     multi_chip: bool = True           # use all visible devices (mesh DP)
+    play_steps: int = 600             # play: eval loop length
+    render: str = ""                  # play: write env-0 episode GIF here
+                                      # (headless stand-in for the reference
+                                      # viewer, vec_task.py:197-224)
     train: PPOConfig = field(default_factory=PPOConfig)
     task_cfg: TaskConfig | None = None
 

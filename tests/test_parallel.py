@@ -81,3 +81,32 @@ def test_data_parallel_mpc(mesh):
     assert np.isfinite(actions).all()
     # Different shards got different exploration noise.
     assert np.std(actions[:, 2:]) > 0.0
+
+
+@pytest.mark.slow
+def test_data_parallel_ppo_rnn_step(mesh):
+    """Sharded recurrent PPO: the per-env LSTM carry is threaded through
+    the shard_map wrapper (round-2 STATUS gap #6)."""
+    from bez_isaacgym_tpu.parallel.dp import data_parallel_ppo
+    from bez_isaacgym_tpu.rl.ppo import PPOConfig
+    from bez_isaacgym_tpu.tasks.kick import KickTask
+    from bez_isaacgym_tpu.tasks.base import TaskConfig
+
+    num_envs = 16
+    task = KickTask(TaskConfig(substeps=1, use_pallas=False))
+    cfg = PPOConfig(horizon=2, seq_len=2, minibatch_size=num_envs,
+                    mini_epochs=1, units=(16, 16), rnn_units=8)
+    init_fn, train_iter, act_fn, initial_carry = data_parallel_ppo(
+        task, num_envs, mesh, cfg)
+    ts = jax.device_put(init_fn(jax.random.PRNGKey(0)), replicated(mesh))
+    keys = jax.random.split(jax.random.PRNGKey(1), num_envs)
+    env_state = jax.device_put(jax.jit(jax.vmap(task.reset_one))(keys),
+                               env_sharding(mesh))
+    obs = jax.device_put(jnp.zeros((num_envs, task.num_obs), jnp.float32),
+                         env_sharding(mesh))
+    carry = jax.device_put(initial_carry(), env_sharding(mesh))
+    ts2, env_state, obs, carry, metrics = train_iter(
+        ts, env_state, obs, carry)
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    assert carry[0].shape == (num_envs, cfg.rnn_units)
