@@ -112,12 +112,16 @@ class SQPSolver:
             xs = rollout(U)
 
             # Linearize dynamics + quadraticize cost along the nominal.
+            # One jacfwd/grad over the concatenated (x, u) instead of two
+            # separate traces of the step — halves the linearization's
+            # trace/compile and fuses the forward passes.
             def lin(x, u):
-                A = jax.jacfwd(lambda xx: self._f(env_state, xx, u))(x)
-                Bm = jax.jacfwd(lambda uu: self._f(env_state, x, uu))(u)
-                cx = jax.grad(lambda xx: self._cost(env_state, xx, u))(x)
-                cu = jax.grad(lambda uu: self._cost(env_state, x, uu))(u)
-                return A, Bm, cx, cu
+                z = jnp.concatenate([x, u])
+                J = jax.jacfwd(
+                    lambda zz: self._f(env_state, zz[:NX], zz[NX:]))(z)
+                g = jax.grad(
+                    lambda zz: self._cost(env_state, zz[:NX], zz[NX:]))(z)
+                return J[:, :NX], J[:, NX:], g[:NX], g[NX:]
 
             A, Bm, cx, cu = jax.vmap(lin)(xs, U)
 
