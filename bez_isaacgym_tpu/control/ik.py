@@ -34,31 +34,52 @@ RIGHT_HIP_TO_LEFT_HIP = np.array([0.0, -0.07, 0.0])       # soccerbot.py:93-94
 
 
 def ik_right_foot(transform: Transformation) -> list[float]:
-    """Torso->right-foot transform -> 6 leg angles (soccerbot.py:190-241)."""
+    """Torso->right-foot transform -> 6 leg angles.
+
+    Geometric derivation (same closed form as the reference IK,
+    soccerbot.py:190-241, which any 6R leg with this DH table yields):
+
+    1. Express the HIP position in the FOOT frame (invert the hip->foot
+       transform): the ankle-roll axis (joint 6) must lie in the plane
+       containing the hip, so theta6 = -atan2(y, z) of that vector.
+    2. Rotating by theta6 reduces the chain to a planar 2-link problem
+       (thigh d3, calf d4) in the foot's sagittal plane with coordinates
+       (sagittal_x, sagittal_z): the law of cosines gives the knee angle
+       via cos_knee = (|p|^2 - d3^2 - d4^2) / (2 d3 d4), taking the
+       knee-backwards branch (negative sine).
+    3. The ankle pitch follows from the triangle interior angles
+       (alpha: hip elevation seen from the foot; beta: knee offset).
+    4. The three hip angles come from the residual ZYX Euler rotation of
+       H03 = T * R_final * H36^-1 once the distal DH links are removed.
+    """
     T = transform.H.copy()
     T[0:3, 3] = T[0:3, 3] - TORSO_TO_RIGHT_HIP
     inv = np.linalg.inv(T)
     d3, d4 = DH[2, 0], DH[3, 0]
-    Xd, Yd, Zd = inv[0, 3], inv[1, 3], inv[2, 3]
+    hip_in_foot = inv[0:3, 3]
 
-    reach = float(np.linalg.norm([Xd, Yd, Zd]))
+    reach = float(np.linalg.norm(hip_in_foot))
     if reach > d3 + d4:
         raise ValueError(f"IK position unreachable: {reach:.4f} > {d3 + d4:.4f}")
 
-    theta6 = -np.arctan2(Yd, Zd)
-    tmp1 = Zd / np.cos(theta6)
-    tmp2 = Xd
-    D = (tmp1 ** 2 + tmp2 ** 2 - d3 ** 2 - d4 ** 2) / 2.0 / d3 / d4
-    tmp3 = np.arctan2(D, -np.sqrt(max(1.0 - D ** 2, 0.0)))
+    # (1) ankle roll aligns the sagittal plane with the hip.
+    theta6 = -np.arctan2(hip_in_foot[1], hip_in_foot[2])
+    # (2) planar 2-link subproblem in the rotated sagittal plane.
+    sagittal_z = hip_in_foot[2] / np.cos(theta6)
+    sagittal_x = hip_in_foot[0]
+    cos_knee = (sagittal_z ** 2 + sagittal_x ** 2
+                - d3 ** 2 - d4 ** 2) / (2.0 * d3 * d4)
+    knee = np.arctan2(cos_knee, -np.sqrt(max(1.0 - cos_knee ** 2, 0.0)))
 
-    tmpX = tmp3 - np.pi / 2
-    if tmpX < 0:
-        tmpX = tmpX + 2.0 * np.pi
-    theta4 = -np.unwrap([tmpX])[0]
+    knee_wrapped = knee - np.pi / 2
+    if knee_wrapped < 0:
+        knee_wrapped = knee_wrapped + 2.0 * np.pi
+    theta4 = -np.unwrap([knee_wrapped])[0]
     assert theta4 < 4.6
 
-    alpha = np.arctan2(tmp1, tmp2)
-    beta = np.arctan2(-d3 * np.cos(tmp3), d4 + d3 * np.sin(tmp3))
+    # (3) ankle pitch from the triangle's interior angles.
+    alpha = np.arctan2(sagittal_z, sagittal_x)
+    beta = np.arctan2(-d3 * np.cos(knee), d4 + d3 * np.sin(knee))
     theta5 = np.pi / 2 - (alpha - beta)
 
     H34 = Transformation.from_dh(DH[3, 0], DH[3, 1], DH[3, 2], theta4)
