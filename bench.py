@@ -1,22 +1,31 @@
 """Headline benchmark: parallel Bez MPC solves/s + p50 solve latency + SoL.
 
-Prints ONE JSON line:
+Prints ONE JSON line (ALWAYS — any failure still emits a parseable line with
+``"degraded": true`` and the error):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 North-star targets (BASELINE.md):
   - >= 4096 parallel MPC solves/s on v5p-8 (8 chips) -> 512 solves/s/chip
   - < 10 ms p50 per solve at a 32-step horizon (100 Hz control budget)
 
+Backend robustness (round-2 failure mode, VERDICT item 1): the image's
+tunneled TPU ("axon") hangs in-process init for ~4 min when the tunnel is
+down.  We probe it in a SUBPROCESS with a timeout before importing jax, and
+fall back to the CPU backend with tiny shapes + "degraded": true rather
+than crashing (BENCH_r02.json was rc=1 for exactly this).
+
 Measurement notes (both modes are closed-loop: solve -> env step):
   - Throughput mode: S=256 solves per dispatch, wall-clocked per dispatch.
   - Latency mode: S=64 solves chained N times inside ONE XLA program
-    (lax.scan), wall/N. This is the honest per-control-tick latency of a
-    pipelined 100 Hz loop: a deployed controller never round-trips to the
-    host between ticks, while this dev rig's tunneled TPU adds ~30 ms of
-    host dispatch per program launch that would otherwise dominate.
+    (lax.scan), wall/N reported as AMORTIZED per-tick latency — the honest
+    number for a pipelined 100 Hz controller that never round-trips to the
+    host between ticks.  The chain's FIRST-TICK latency (one un-chained
+    solve+step dispatch, including host dispatch overhead) is reported
+    alongside as ``first_tick_p50_ms`` so the amortized number cannot be
+    misread as a true single-dispatch p50.
   - SoL fields come from XLA's own cost analysis (flops / bytes accessed)
     over the measured wall time, against the chip's peak FLOPs/HBM BW
-    (utils/profiling.chip_peaks). The substep kernel is a small-state
+    (utils/profiling.chip_peaks).  The substep kernel is a small-state
     serial articulated-body solve, not a matmul: it is latency-bound by
     design, so %-of-peak-FLOPs is reported for transparency, not as the
     optimization target.
@@ -25,15 +34,34 @@ Measurement notes (both modes are closed-loop: solve -> env step):
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+import traceback
 
-import jax
-import jax.numpy as jnp
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bez_isaacgym_tpu.utils.backend import ensure_backend  # noqa: E402
+
+BACKEND = ensure_backend(probe_timeout_s=float(
+    os.environ.get("BENCH_PROBE_TIMEOUT_S", "120")))
+
+import jax            # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 # Persistent compile cache: the cold compile through the dev tunnel takes
 # minutes; repeat runs (and the driver's round-end run) hit the cache.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+DEGRADED = BACKEND["degraded"]
+
+
+def _emit(payload: dict) -> None:
+    payload.setdefault("degraded", DEGRADED)
+    if DEGRADED:
+        payload.setdefault("degraded_reason", BACKEND["detail"])
+    print(json.dumps(payload))
 
 
 def _build(S: int, horizon: int, num_samples: int):
@@ -51,12 +79,15 @@ def _build(S: int, horizon: int, num_samples: int):
     return task, solver, env, mppi
 
 
-def main():
-    horizon, num_samples = 32, 32
+def run_bench():
+    horizon = 32
+    # Degraded CPU fallback: tiny shapes so the line still lands in minutes.
+    num_samples = 8 if DEGRADED else 32
+    reps_tp, reps_lat = (3, 2) if DEGRADED else (10, 5)
     chip = str(jax.devices()[0])
 
     # ---------------- throughput mode: S=256 per dispatch ------------------
-    S_tp = 256
+    S_tp = 8 if DEGRADED else 256
     task, solver, env, mppi = _build(S_tp, horizon, num_samples)
     solve = jax.jit(solver.solve)
     t0 = time.time()
@@ -64,7 +95,7 @@ def main():
     jax.block_until_ready(a)
     compile_s = time.time() - t0
     lat = []
-    for i in range(10):
+    for i in range(reps_tp):
         t0 = time.time()
         a, m, _ = solve(env, m, jax.random.PRNGKey(2 + i))
         jax.block_until_ready(a)
@@ -74,15 +105,20 @@ def main():
     solves_per_s = S_tp / tp_p50
 
     # ---------------- latency mode: S=64 chained closed-loop ---------------
-    S_lat, N_CHAIN = 64, 20
+    S_lat = 8 if DEGRADED else 64
+    N_CHAIN = 4 if DEGRADED else 20
     task, solver, env, mppi = _build(S_lat, horizon, num_samples)
+
+    def tick(env, mppi, key):
+        act, mp2, _ = solver.solve(env, mppi, key)
+        out = task.step_batch(env, act)
+        return out.state, mp2, act
 
     def chain(env, mppi, key):
         def body(carry, k):
             env, mp = carry
-            act, mp2, _ = solver.solve(env, mp, k)
-            out = task.step_batch(env, act)
-            return (out.state, mp2), act[0, 2]
+            env, mp, act = tick(env, mp, k)
+            return (env, mp), act[0, 2]
         (env, mppi), trace = jax.lax.scan(
             body, (env, mppi), jax.random.split(key, N_CHAIN))
         return trace
@@ -91,13 +127,27 @@ def main():
     out = chain_fn(env, mppi, jax.random.PRNGKey(10))
     jax.block_until_ready(out)
     lat2 = []
-    for i in range(5):
+    for i in range(reps_lat):
         t0 = time.time()
         out = chain_fn(env, mppi, jax.random.PRNGKey(11 + i))
         jax.block_until_ready(out)
         lat2.append(time.time() - t0)
     lat2.sort()
     solve_ms = lat2[len(lat2) // 2] / N_CHAIN * 1e3
+
+    # First-tick latency: ONE un-chained solve+step dispatch (includes host
+    # dispatch overhead — the latency a non-pipelined caller would see).
+    tick_fn = jax.jit(tick)
+    e1, m1, a1 = tick_fn(env, mppi, jax.random.PRNGKey(30))
+    jax.block_until_ready(a1)
+    lat3 = []
+    for i in range(reps_lat):
+        t0 = time.time()
+        e1, m1, a1 = tick_fn(env, mppi, jax.random.PRNGKey(31 + i))
+        jax.block_until_ready(a1)
+        lat3.append(time.time() - t0)
+    lat3.sort()
+    first_tick_ms = lat3[len(lat3) // 2] * 1e3
 
     # ---------------- SoL accounting (XLA cost analysis) -------------------
     sol = {}
@@ -123,13 +173,22 @@ def main():
     except Exception as e:       # cost_analysis availability varies by backend
         sol = {"error": str(e)[:120]}
 
+    # ---------------- hybrid SQP polish @ H=32 (VERDICT r2 item 3) ---------
+    sqp = {}
+    try:
+        sqp = run_sqp_bench(horizon)
+    except Exception as e:
+        sqp = {"error": str(e)[:200]}
+
     baseline_per_chip = 4096 / 8.0   # v5p-8 target spread over 8 chips
-    print(json.dumps({
+    _emit({
         "metric": "mpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline_per_chip, 3),
         "p50_solve_latency_ms": round(solve_ms, 3),
+        "latency_kind": "amortized_per_tick_chained",
+        "first_tick_p50_ms": round(first_tick_ms, 3),
         "latency_target_ms": 10.0,
         "latency_vs_target": round(10.0 / solve_ms, 2),
         "latency_parallel_solves": S_lat,
@@ -139,9 +198,67 @@ def main():
         "horizon": horizon,
         "num_samples": num_samples,
         "sol": sol,
+        "sqp": sqp,
         "compile_s": round(compile_s, 1),
         "device": chip,
-    }))
+    })
+
+
+def run_sqp_bench(horizon: int) -> dict:
+    """p50 + compile time of the SQP/Gauss-Newton stage at the target
+    horizon (VERDICT r2: 'SQP is benched nowhere')."""
+    from bez_isaacgym_tpu.solvers.sqp import SQPConfig, SQPSolver, SQPState
+    from bez_isaacgym_tpu.tasks.base import TaskConfig
+    from bez_isaacgym_tpu.tasks.kick import KickTask
+
+    if DEGRADED:
+        S, iters, reps = 2, 1, 2
+    else:
+        S, iters, reps = 16, 2, 5
+    task = KickTask(TaskConfig(substeps=2))
+    solver = SQPSolver(task, SQPConfig(horizon=horizon, iterations=iters))
+    keys = jax.random.split(jax.random.PRNGKey(42), S)
+    env = jax.jit(jax.vmap(task.reset_one))(keys)
+    sqp = SQPState(nominal=jnp.zeros((S, horizon, task.num_actions),
+                                     jnp.float32))
+
+    solve = jax.jit(solver.solve)
+    t0 = time.time()
+    u, s2, info = solve(env, sqp)
+    jax.block_until_ready(u)
+    compile_s = time.time() - t0
+    lat = []
+    for _ in range(reps):
+        t0 = time.time()
+        u, s2, info = solve(env, sqp)
+        jax.block_until_ready(u)
+        lat.append(time.time() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    return {
+        "horizon": horizon,
+        "iterations": iters,
+        "parallel_solves": S,
+        "p50_batch_ms": round(p50 * 1e3, 2),
+        "p50_per_solve_ms": round(p50 / S * 1e3, 3),
+        "solves_per_s": round(S / p50, 1),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    try:
+        run_bench()
+    except Exception as e:
+        traceback.print_exc(file=sys.stderr)
+        _emit({
+            "metric": "mpc_solves_per_s_per_chip",
+            "value": 0.0,
+            "unit": "solves/s",
+            "vs_baseline": 0.0,
+            "degraded": True,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        })
 
 
 if __name__ == "__main__":

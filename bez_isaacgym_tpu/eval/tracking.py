@@ -156,4 +156,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from bez_isaacgym_tpu.utils.backend import ensure_backend
+    ensure_backend()   # dead-tunnel hang guard (STATUS #7)
     main()

@@ -6,8 +6,14 @@
 
 import sys
 
-from bez_isaacgym_tpu.rl.runner import Runner
-from bez_isaacgym_tpu.utils.config import parse_overrides
+# Probe the tunneled TPU out-of-process and fall back to CPU if it is
+# unreachable — in-process init hangs ~4 min on a dead tunnel (STATUS #7).
+from bez_isaacgym_tpu.utils.backend import ensure_backend
+
+ensure_backend()
+
+from bez_isaacgym_tpu.rl.runner import Runner  # noqa: E402
+from bez_isaacgym_tpu.utils.config import parse_overrides  # noqa: E402
 
 
 class LaunchModel:

@@ -1,20 +1,24 @@
 """Test configuration.
 
+- FORCES the CPU backend (tests are CPU-by-design; the image sets
+  JAX_PLATFORMS=axon and force-registers the tunneled TPU via sitecustomize,
+  and a dead tunnel hangs in-process backend init for ~4 minutes — so we
+  override, not setdefault, and clear PALLAS_AXON_POOL_IPS so the axon
+  plugin fails fast if it is still consulted).
 - Requests a virtual 8-device CPU backend (for mesh/sharding tests) via
-  XLA_FLAGS; mesh tests grab it explicitly with jax.devices("cpu") because
-  the image's sitecustomize force-registers the tunneled TPU ("axon") ahead
-  of JAX_PLATFORMS, so the *default* backend may be that single TPU.
+  XLA_FLAGS; mesh tests grab it explicitly with jax.devices("cpu").
 - Enables the persistent compilation cache: XLA:CPU first-compiles are very
   slow in this image (~0.5 s per op), and TPU compiles benefit too.
 """
 
-import os
+import sys
+from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bez_isaacgym_tpu.utils.backend import force_cpu  # noqa: E402
+
+force_cpu(n_virtual_devices=8)
 
 import jax  # noqa: E402
 

@@ -1,0 +1,119 @@
+"""CPU coverage for the fused Pallas substep kernel via interpret mode.
+
+``make_pallas_step_fn(..., interpret=True)`` executes the kernel's exact
+trace through the Pallas interpreter on the CPU backend, so the 600+ line
+kernel generator keeps parity coverage even when no TPU is reachable (the
+hardware tests in test_pallas.py skip without one — VERDICT r2 item 4).
+
+The default-run test uses a tiny 3-body chain model: the kernel generator
+unrolls FK / dynamics / the (6+nq)^3 Cholesky solve in Python, so the
+full 21-body Bez trace through the interpret machinery takes >10 min on
+this image's CPU — the chain exercises the identical codegen paths (FK
+recursion, PD actuation, plane contacts, integration) in seconds.  The
+full-Bez interpret parity run is kept as a `slow`-marked test.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bez_isaacgym_tpu.models.bez import (READY_JOINT_ANGLES,
+                                         default_dyn_params, load_bez_model,
+                                         pose_vector)
+from bez_isaacgym_tpu.models.robot import RobotModel
+from bez_isaacgym_tpu.ops.engine import (SceneConfig, default_state,
+                                         make_batched_step_fn)
+from bez_isaacgym_tpu.ops.pallas_step import make_pallas_step_fn
+
+F32 = jnp.float32
+
+
+def make_chain_model(nq: int = 2) -> RobotModel:
+    """Minimal planar chain: free root box + nq pendulum links with a
+    4-corner contact foot on the last link and corners on the root."""
+    nb = nq + 1
+    eye3 = np.eye(3)
+    corners = np.array([[sx * 0.04, sy * 0.04, -0.05]
+                        for sx in (-1, 1) for sy in (-1, 1)])
+    return RobotModel(
+        name=f"chain{nq}", nb=nb, nq=nq,
+        parent=np.arange(-1, nb - 1),
+        tree_pos=np.array([[0, 0, 0]] + [[0, 0, -0.1]] * nq, np.float64),
+        tree_rot=np.stack([eye3] * nb),
+        axis=np.tile(np.array([[0.0, 1.0, 0.0]]), (nq, 1)),
+        mass=np.array([1.0] + [0.25] * nq),
+        com=np.array([[0, 0, 0]] + [[0, 0, -0.05]] * nq, np.float64),
+        inertia=np.stack([np.diag([2e-3, 2e-3, 2e-3])] * nb),
+        dof_lower=np.full(nq, -1.5), dof_upper=np.full(nq, 1.5),
+        dof_effort=np.full(nq, 2.5), dof_velocity=np.full(nq, 2 * np.pi),
+        joint_names=[f"j{i}" for i in range(nq)],
+        body_names=["root"] + [f"link{i}" for i in range(nq)],
+        sites={},
+        cpoint_pos=np.concatenate([corners, corners]),
+        cpoint_body=np.array([0] * 4 + [nb - 1] * 4),
+        cpoint_sensor=np.full(8, -1),
+        box_body=np.array([0]),
+        box_pos=np.zeros((1, 3)),
+        box_rot=np.stack([eye3]),
+        box_half=np.array([[0.05, 0.05, 0.05]]),
+    )
+
+
+def _parity_case(model, cfg, B, q0, base_pos, atol):
+    params = jax.tree.map(jnp.asarray, default_dyn_params(model))
+    bparams = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x),
+                                   (B,) + jnp.asarray(x).shape), params)
+    s0 = default_state(model, cfg, q0, base_pos, (0, 0, 0, 1))
+    batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), s0)
+    rng = np.random.default_rng(0)
+    batch = batch._replace(
+        q=jnp.asarray(rng.uniform(-0.1, 0.1, (B, model.nq))
+                      .astype(np.float32)) + q0[None],
+        qd=jnp.asarray(rng.uniform(-0.2, 0.2, (B, model.nq))
+                       .astype(np.float32)))
+    tg = jnp.broadcast_to(q0, (B, model.nq))
+
+    ref_step = jax.jit(make_batched_step_fn(model, cfg))
+    pl_step = jax.jit(make_pallas_step_fn(model, cfg, block_b=B,
+                                          interpret=True))
+    ref, out = batch, batch
+    for _ in range(3):   # a few substeps so contacts + friction engage
+        ref = ref_step(bparams, ref, tg)
+        out = pl_step(bparams, out, tg)
+    np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q),
+                               atol=atol)
+    np.testing.assert_allclose(np.asarray(out.qd), np.asarray(ref.qd),
+                               atol=50 * atol)
+    np.testing.assert_allclose(np.asarray(out.base_pos),
+                               np.asarray(ref.base_pos), atol=atol)
+    np.testing.assert_allclose(np.asarray(out.base_quat),
+                               np.asarray(ref.base_quat), atol=2 * atol)
+    assert not np.isnan(np.asarray(out.qd)).any()
+    return out, ref
+
+
+def test_interpret_matches_xla_engine_chain():
+    """Interpret-mode kernel == XLA engine on the tiny chain (runs in CI
+    on every platform; the codegen paths are model-size independent)."""
+    model = make_chain_model(2)
+    cfg = SceneConfig(substeps=2, has_ball=False)
+    q0 = jnp.zeros(2, F32)
+    # Chain hangs straight down: last-link corners at 0.252-0.2-0.05 =
+    # 0.002 m above the plane, so the foot engages contact within a step.
+    out, ref = _parity_case(model, cfg, B=8, q0=q0,
+                            base_pos=(0, 0, 0.252), atol=2e-3)
+    # Contact holds the chain up (no fall-through, no launch).
+    assert float(jnp.abs(out.base_pos[:, 2] - 0.252).max()) < 0.02
+
+
+@pytest.mark.slow
+def test_interpret_matches_xla_engine_bez():
+    """Full-Bez interpret parity (slow: the unrolled 21-body kernel trace
+    through the interpreter takes many minutes on CPU — run on demand)."""
+    model = load_bez_model("stl")
+    cfg = SceneConfig(substeps=2)
+    q0 = jnp.asarray(pose_vector(model, READY_JOINT_ANGLES), F32)
+    _parity_case(model, cfg, B=8, q0=q0, base_pos=(0, 0, 0.34), atol=5e-3)
