@@ -89,7 +89,9 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
               seed: int = 0, horizon: int = 32, num_samples: int = 64,
               sigma: float = 0.25, temperature: float = 0.05,
               substeps: int = 2, warm_skill: str = "",
-              use_sqp: bool = False, done_penalty: float = 10.0):
+              use_sqp: bool = False, done_penalty: float = 10.0,
+              policy_prior: str = "", balance_weight: float = 0.0,
+              terminal_balance_weight: float = 0.0):
     """Closed-loop MPC kick eval.
 
     warm_skill: keyframe skill (e.g. "simulation_rightkick") used as a
@@ -97,6 +99,9 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
     re-seeded with the skill window [t, t+H) (HybridSolver.warm_start /
     SURVEY.md §7 Phase 4), so sampling explores around the classical kick.
     use_sqp: polish the MPPI winner with the SQP stage (HybridSolver).
+    policy_prior: PPO checkpoint; rollouts run closed-loop around the
+    policy's deterministic action and MPPI samples residuals (the round-3
+    fix for 'MPPI kicks worse than its own PPO artifact', VERDICT r2 #3).
     """
     from bez_isaacgym_tpu.solvers.hybrid import HybridSolver
     from bez_isaacgym_tpu.solvers.mppi import MPPIConfig, MPPISolver, MPPIState
@@ -105,15 +110,25 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
     task = KickTask(TaskConfig(substeps=substeps))
     mppi_cfg = MPPIConfig(horizon=horizon, num_samples=num_samples,
                           sigma=sigma, temperature=temperature,
-                          done_penalty=done_penalty)
+                          done_penalty=done_penalty,
+                          balance_weight=balance_weight,
+                          terminal_balance_weight=terminal_balance_weight)
+    prior_fn = None
+    if policy_prior:
+        from bez_isaacgym_tpu.rl.players import PpoPlayerContinuous
+        player = PpoPlayerContinuous(task, checkpoint_path=policy_prior)
+        ts = player.train_state
+        key0 = jax.random.PRNGKey(0)
+        prior_fn = lambda obs: player._act(ts, obs, key0, True)  # noqa: E731
     if use_sqp:
         hybrid = HybridSolver(task, mppi_cfg,
-                              SQPConfig(horizon=horizon, iterations=1))
+                              SQPConfig(horizon=horizon, iterations=1),
+                              prior_fn=prior_fn)
         solver = hybrid.mppi
         solve = jax.jit(hybrid.solve)
     else:
         hybrid = None
-        solver = MPPISolver(task, mppi_cfg)
+        solver = MPPISolver(task, mppi_cfg, prior_fn=prior_fn)
         solve = jax.jit(solver.solve)
     step = jax.jit(task.step_batch)
 
@@ -173,6 +188,13 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
 
     return {
         "num_envs": num_envs,
+        "config": {"sigma": sigma, "temperature": temperature,
+                   "num_samples": num_samples, "horizon": horizon,
+                   "done_penalty": done_penalty,
+                   "balance_weight": balance_weight,
+                   "terminal_balance_weight": terminal_balance_weight,
+                   "policy_prior": policy_prior, "warm_skill": warm_skill,
+                   "use_sqp": use_sqp},
         "mean_ball_progress_m": float(progress_toward_goal.mean()),
         "success_rate": float((progress_toward_goal >= success_dist).mean()),
         "kicked_rate": float((progress_toward_goal >= 0.3).mean()),
@@ -181,6 +203,8 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
 
 
 if __name__ == "__main__":
+    from bez_isaacgym_tpu.utils.backend import ensure_backend
+    ensure_backend()   # dead-tunnel hang guard (STATUS #7)
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--solver", default="", choices=["", "mppi", "hybrid"])
@@ -194,13 +218,21 @@ if __name__ == "__main__":
     ap.add_argument("--temperature", type=float, default=0.05)
     ap.add_argument("--num-samples", type=int, default=64)
     ap.add_argument("--horizon", type=int, default=32)
+    ap.add_argument("--policy-prior", default="",
+                    help="PPO ckpt; MPPI samples residuals around the "
+                         "policy's closed-loop actions")
+    ap.add_argument("--balance-weight", type=float, default=0.0)
+    ap.add_argument("--terminal-balance-weight", type=float, default=0.0)
     args = ap.parse_args()
     if args.solver in ("mppi", "hybrid"):
         res = eval_mppi(num_envs=args.num_envs, steps=args.steps,
                         sigma=args.sigma, temperature=args.temperature,
                         num_samples=args.num_samples, horizon=args.horizon,
                         warm_skill=args.warm_skill,
-                        use_sqp=args.solver == "hybrid")
+                        use_sqp=args.solver == "hybrid",
+                        policy_prior=args.policy_prior,
+                        balance_weight=args.balance_weight,
+                        terminal_balance_weight=args.terminal_balance_weight)
     else:
         res = eval_policy(args.checkpoint, num_envs=args.num_envs,
                           steps=args.steps,

@@ -26,12 +26,19 @@ class HybridState(NamedTuple):
 class HybridSolver:
 
     def __init__(self, task: BezTask, mppi_cfg: MPPIConfig | None = None,
-                 sqp_cfg: SQPConfig | None = None, use_sqp: bool = True):
+                 sqp_cfg: SQPConfig | None = None, use_sqp: bool = True,
+                 prior_fn=None):
         mppi_cfg = mppi_cfg or MPPIConfig()
         sqp_cfg = sqp_cfg or SQPConfig(horizon=mppi_cfg.horizon)
         assert sqp_cfg.horizon == mppi_cfg.horizon
+        if prior_fn is not None and use_sqp:
+            # With a policy prior MPPI's nominal is a closed-loop RESIDUAL;
+            # there is no per-solve absolute open-loop sequence for the SQP
+            # stage to polish (each sample's executed actions depend on its
+            # own state trajectory through the prior).
+            raise ValueError("policy prior_fn is MPPI-only; set use_sqp=False")
         self.task = task
-        self.mppi = MPPISolver(task, mppi_cfg)
+        self.mppi = MPPISolver(task, mppi_cfg, prior_fn=prior_fn)
         self.sqp = SQPSolver(task, sqp_cfg)
         self.use_sqp = use_sqp
 

@@ -17,14 +17,17 @@ closest analog is the classical walking engine driving env.step at
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
+from bez_isaacgym_tpu.ops.quat import quat_axis
 from bez_isaacgym_tpu.tasks.base import BezTask, EnvState
 
 F32 = jnp.float32
+
+DESIRED_HEIGHT = 0.325  # kick_env.py:1125
 
 
 @dataclass(frozen=True)
@@ -39,20 +42,62 @@ class MPPIConfig:
     temperature: float = 0.05  # softmax temperature (lambda)
     gamma: float = 1.0         # reward discount along the horizon
     done_penalty: float = 10.0 # extra cost when a rollout terminates
+    balance_weight: float = 0.0
+                               # per-step stability shaping added to the
+                               # rollout score: up-projection minus height
+                               # error minus scaled base spin.  The task
+                               # reward's own height term (kick_env.py:1305)
+                               # is too weak to keep sampled kicks upright
+                               # (round-2 MPPI fell in 92% of episodes).
+    terminal_balance_weight: float = 0.0
+                               # same stability score applied once to the
+                               # horizon-final state — a proxy cost-to-go
+                               # that penalizes rollouts that topple just
+                               # PAST the 0.53 s horizon (the round-2
+                               # failure mode: kick, then fall).
+
+
+def balance_score(physics) -> jnp.ndarray:
+    """Stability score of a batched physics state (higher = more upright).
+
+    up-projection of the torso z-axis (walk_env.py:938 uses up_proj<0.7 as
+    the fall test) minus height error vs DESIRED_HEIGHT minus scaled base
+    angular speed.  Bounded ~[-2, 1]; a clean stand scores ~+1.
+    """
+    up = quat_axis(physics.base_quat, 2)[..., 2]
+    height_err = jnp.abs(physics.base_pos[..., 2] - DESIRED_HEIGHT)
+    spin = jnp.linalg.norm(physics.base_u[..., 3:6], axis=-1)
+    return up - 4.0 * height_err - 0.05 * spin
 
 
 class MPPIState(NamedTuple):
-    """Per-solve solver state: the warm-started nominal sequence."""
+    """Per-solve solver state: the warm-started nominal sequence.
+
+    With a policy prior (`prior_fn`), `nominal` is the RESIDUAL sequence
+    added on top of the closed-loop policy actions; without one it is the
+    absolute action sequence (classic MPPI).
+    """
 
     nominal: jnp.ndarray       # (H, nq) action sequence
 
 
 class MPPISolver:
-    """Batched MPC: solve(env_states, mppi_states, keys) over S solves."""
+    """Batched MPC: solve(env_states, mppi_states, keys) over S solves.
 
-    def __init__(self, task: BezTask, cfg: MPPIConfig = MPPIConfig()):
+    prior_fn: optional policy prior `obs (N, num_obs) -> actions (N, nq)`
+    (e.g. the trained PPO policy's deterministic action).  When set, each
+    rollout runs CLOSED-LOOP around the prior — at every horizon step the
+    task observation is computed and the sampled sequence perturbs the
+    prior's action — so the solver's baseline behavior is the policy's
+    (round-2 MPPI kicked worse than its own PPO artifact; sampling around
+    the policy makes the policy the floor, not the ceiling).
+    """
+
+    def __init__(self, task: BezTask, cfg: MPPIConfig = MPPIConfig(),
+                 prior_fn: Optional[Callable] = None):
         self.task = task
         self.cfg = cfg
+        self.prior_fn = prior_fn
 
     def init_state(self) -> MPPIState:
         return MPPIState(nominal=jnp.zeros(
@@ -61,32 +106,44 @@ class MPPISolver:
     def _rollout_scores(self, env_states: EnvState, seqs: jnp.ndarray):
         """Total discounted rewards (N,) for N flattened rollouts.
 
-        env_states: batched EnvState with leading dim N; seqs (N, H, nq).
+        env_states: batched EnvState with leading dim N; seqs (N, H, nq) —
+        absolute actions, or residuals around the policy prior when
+        `prior_fn` is set.
         """
         task, cfg = self.task, self.cfg
-        na = task.num_actions
+        N = seqs.shape[0]
 
         def body(carry, u_t):
-            physics, progress, alive = carry           # batched (N, ...)
+            s, alive, u_prev = carry                     # batched (N, ...)
+            if self.prior_fn is not None:
+                obs, s = jax.vmap(task.observe)(s, u_prev)
+                u_t = self.prior_fn(obs) + u_t
             u = jnp.clip(u_t, -task.cfg.clip_actions, task.cfg.clip_actions)
             u = u.at[:, 0:2].set(0.0)
             targets = jnp.clip(u + task.default_dof_pos[None],
                                task.dof_lower[None], task.dof_upper[None])
-            physics = task._step_physics_batch(env_states.dyn, physics, targets)
-            progress = progress + 1
-            s = env_states._replace(physics=physics, progress=progress)
+            physics = task._step_physics_batch(s.dyn, s.physics, targets)
+            s = s._replace(physics=physics, progress=s.progress + 1)
             reward, done = jax.vmap(task.reward_done)(s, u)
+            if cfg.balance_weight:
+                reward = reward + cfg.balance_weight * balance_score(physics)
             reward = jnp.where(alive, reward, 0.0)
-            terminal = alive & done & (progress < task.cfg.max_episode_length)
+            terminal = alive & done & (s.progress < task.cfg.max_episode_length)
             reward = reward - cfg.done_penalty * terminal.astype(F32)
             alive = alive & ~done
-            return (physics, progress, alive), reward
+            return (s, alive, u), reward
 
-        init = (env_states.physics, env_states.progress,
-                jnp.ones(seqs.shape[0], bool))
-        _, rewards = jax.lax.scan(body, init, jnp.swapaxes(seqs, 0, 1))
+        init = (env_states, jnp.ones(N, bool),
+                jnp.zeros((N, task.num_actions), F32))
+        (final_s, alive, _), rewards = jax.lax.scan(
+            body, init, jnp.swapaxes(seqs, 0, 1))
         disc = cfg.gamma ** jnp.arange(cfg.horizon, dtype=F32)
-        return jnp.einsum("hn,h->n", rewards, disc)
+        total = jnp.einsum("hn,h->n", rewards, disc)
+        if cfg.terminal_balance_weight:
+            stab = balance_score(final_s.physics)
+            total = total + cfg.terminal_balance_weight * jnp.where(
+                alive, stab, 0.0)
+        return total
 
     def solve(self, env_states: EnvState, mppi_states: MPPIState, key):
         """One MPC solve for S envs at once.
@@ -108,7 +165,15 @@ class MPPISolver:
 
         w = jax.nn.softmax(scores / cfg.temperature, axis=-1)   # (S,K)
         new_nominal = jnp.einsum("sk,skhj->shj", w, seqs)
-        actions = new_nominal[:, 0]
+        if self.prior_fn is not None:
+            # nominal is a residual; the executed action is prior + residual
+            # (obs at t=0 is sample-independent, so the weighted average of
+            # executed first actions IS prior(obs0) + weighted residual).
+            obs0, _ = jax.vmap(self.task.observe)(
+                env_states, jnp.zeros((S, na), F32))
+            actions = self.prior_fn(obs0) + new_nominal[:, 0]
+        else:
+            actions = new_nominal[:, 0]
         shifted = jnp.concatenate([new_nominal[:, 1:], new_nominal[:, -1:]],
                                   axis=1)
         info = {"best_score": scores.max(-1), "mean_score": scores.mean(-1),

@@ -47,13 +47,25 @@ def unflatten_physics(x: jnp.ndarray, template: PhysicsState) -> PhysicsState:
 
 @dataclass(frozen=True)
 class SQPConfig:
-    horizon: int = 16
+    horizon: int = 32              # BASELINE.md target horizon
     iterations: int = 3
     reg: float = 1e-3              # Levenberg-Marquardt regularization
     line_search: tuple = (1.0, 0.5, 0.25, 0.1)
     u_clip: float = 3.9
     parallel_riccati: bool = True  # associative-scan backward pass
                                    # (solvers/riccati.py; O(log H) depth)
+    linearize: str = "fd"          # "fd": central-difference dynamics
+                                   # Jacobian — 2*(NX+nu) vmapped PRIMAL
+                                   # step evals, so XLA compiles the step
+                                   # once instead of tracing its full
+                                   # forward-mode JVP (the round-2
+                                   # compile-time hog); the standard choice
+                                   # for smoothed-contact MPC (MuJoCo MPC
+                                   # linearizes by finite differences).
+                                   # "jacfwd": exact autodiff Jacobian
+                                   # (parity oracle, tests/test_solvers.py).
+    fd_eps: float = 1e-3           # central-diff step: truncation O(h^2)
+                                   # ~1e-6 vs f32 roundoff O(eps/h) ~1e-4
 
 
 class SQPState(NamedTuple):
@@ -87,6 +99,32 @@ class SQPSolver:
         reward, _ = self.task.reward_done(s, u)
         return -reward
 
+    def linearize_dynamics(self, env_state: EnvState, x: jnp.ndarray,
+                           u: jnp.ndarray):
+        """(A (NX,NX), B (NX,nu)): Jacobian of the step at (x, u).
+
+        cfg.linearize selects central differences over the primal step
+        (default — one vmapped primal compile instead of the step's full
+        forward-mode JVP trace) or the exact jacfwd oracle; parity between
+        the two is pinned by tests/test_solvers.py::test_fd_linearization_
+        matches_jacfwd."""
+        cfg = self.cfg
+        z = jnp.concatenate([x, u])
+        nz = NX + self.nu
+
+        def f(zz):
+            return self._f(env_state, zz[:NX], zz[NX:])
+
+        if cfg.linearize == "jacfwd":
+            J = jax.jacfwd(f)(z)
+        else:
+            h = cfg.fd_eps
+            pert = jnp.eye(nz, dtype=F32) * h
+            fp = jax.vmap(lambda e: f(z + e))(pert)      # (nz, NX)
+            fm = jax.vmap(lambda e: f(z - e))(pert)
+            J = ((fp - fm) / (2.0 * h)).T                # (NX, nz)
+        return J[:, :NX], J[:, NX:]
+
     def _rollout_cost(self, env_state: EnvState, U: jnp.ndarray):
         """Total cost of a (H,nu) sequence from env_state (single env)."""
         def body(x, u):
@@ -112,16 +150,17 @@ class SQPSolver:
             xs = rollout(U)
 
             # Linearize dynamics + quadraticize cost along the nominal.
-            # One jacfwd/grad over the concatenated (x, u) instead of two
-            # separate traces of the step — halves the linearization's
-            # trace/compile and fuses the forward passes.
+            # The cost gradient is always autodiff (no physics inside
+            # _cost); the dynamics Jacobian is either central differences
+            # over the primal step ("fd", default — compiles the step once
+            # under vmap) or one fused jacfwd over the concatenated (x, u)
+            # ("jacfwd" oracle).
             def lin(x, u):
                 z = jnp.concatenate([x, u])
-                J = jax.jacfwd(
-                    lambda zz: self._f(env_state, zz[:NX], zz[NX:]))(z)
                 g = jax.grad(
                     lambda zz: self._cost(env_state, zz[:NX], zz[NX:]))(z)
-                return J[:, :NX], J[:, NX:], g[:NX], g[NX:]
+                A, B = self.linearize_dynamics(env_state, x, u)
+                return A, B, g[:NX], g[NX:]
 
             A, Bm, cx, cu = jax.vmap(lin)(xs, U)
 

@@ -105,6 +105,46 @@ def test_mppi_ess_in_range(task, env1):
     assert 1.0 - 1e-5 <= ess <= cfg.num_samples + 1e-5
 
 
+def test_mppi_policy_prior_is_the_floor(task, env1):
+    """With a policy prior and sigma=0 every sample equals the closed-loop
+    prior rollout, so the returned action must equal the prior's action at
+    the current obs exactly (the 'policy is the floor' property the round-3
+    kick fix relies on)."""
+    prior_action = 0.12
+
+    def prior_fn(obs):
+        return jnp.full((obs.shape[0], task.num_actions), prior_action, F32)
+
+    cfg = MPPIConfig(horizon=4, num_samples=4, sigma=0.0)
+    solver = MPPISolver(task, cfg, prior_fn=prior_fn)
+    mppi = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape),
+                        solver.init_state())
+    actions, mppi2, info = jax.jit(solver.solve)(env1, mppi,
+                                                 jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(actions),
+                               prior_action, atol=1e-6)
+    # Residual nominal stays zero when no noise is sampled.
+    np.testing.assert_allclose(np.asarray(mppi2.nominal), 0.0, atol=1e-6)
+    assert np.isfinite(float(info["best_score"][0]))
+
+
+def test_mppi_balance_shaping_rewards_upright(task):
+    """The balance-shaped rollout score must rank an upright stand above a
+    fallen pose (the terminal/per-step stability terms added for the
+    round-3 MPC kick fix)."""
+    from bez_isaacgym_tpu.solvers.mppi import balance_score
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    env = jax.jit(jax.vmap(task.reset_one))(keys)
+    fallen = jax.tree.map(lambda x: x, env)
+    fallen = fallen._replace(physics=fallen.physics._replace(
+        base_pos=fallen.physics.base_pos.at[:, 2].set(0.1),
+        base_quat=jnp.asarray([[0.7071, 0.0, 0.0, 0.7071]], F32)))
+    up_score = float(balance_score(env.physics)[0])
+    down_score = float(balance_score(fallen.physics)[0])
+    assert up_score > down_score
+    assert up_score > 0.5  # a clean stand scores near +1
+
+
 # -------------------------------------------------------------------- SQP
 
 def test_sqp_cost_never_increases(task, env1):
@@ -140,6 +180,53 @@ def test_sqp_batched_solve_shapes(task, env1):
     assert actions.shape == (1, task.num_actions)
     assert sqp2.nominal.shape == sqp.nominal.shape
     assert np.isfinite(float(info["cost"][0]))
+
+
+def test_fd_linearization_matches_jacfwd(task, env1):
+    """The default central-difference dynamics Jacobian (compile-time fix
+    for the round-2 jacfwd hog) must match the exact jacfwd Jacobian
+    (VERDICT r2 item 3: 'a parity test of the analytic linearization vs
+    jacfwd').
+
+    Parity is checked tightly on a contact-free state (dynamics smooth
+    everywhere).  In contact, the stiff normal-force model is kinked at
+    corner activation boundaries, so the FD secant deliberately smooths
+    what jacfwd measures pointwise — there only the control Jacobian
+    (which never crosses a contact boundary at these magnitudes) is pinned."""
+    from bez_isaacgym_tpu.solvers.sqp import flatten_physics
+
+    env0 = jax.tree.map(lambda x: x[0], env1)
+    u = 0.05 * jnp.sin(jnp.arange(task.num_actions, dtype=F32))
+    fd = SQPSolver(task, SQPConfig(horizon=4, linearize="fd"))
+    ad = SQPSolver(task, SQPConfig(horizon=4, linearize="jacfwd"))
+
+    # --- airborne: smooth dynamics, full-matrix parity -------------------
+    # Also keep every OTHER kink out of the +-h window: joint velocities
+    # well away from 0 (regularized Coulomb friction's steep zone) and
+    # joint targets near q (PD torque interior to the effort clamp).
+    air = env0._replace(physics=env0.physics._replace(
+        base_pos=env0.physics.base_pos.at[2].set(0.6),
+        q=task.default_dof_pos,
+        qd=jnp.full(task.num_actions, 0.4, F32),
+        # Ball well clear of the plane AND of the robot's collision boxes
+        # (any active contact pair is a kink FD would smooth over).
+        ball_pos=jnp.asarray([5.0, 0.0, 0.5], F32)))
+    x_air = flatten_physics(air.physics)
+    A_fd, B_fd = jax.jit(fd.linearize_dynamics)(air, x_air, u)
+    A_ad, B_ad = jax.jit(ad.linearize_dynamics)(air, x_air, u)
+    np.testing.assert_allclose(np.asarray(A_fd), np.asarray(A_ad),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(B_fd), np.asarray(B_ad),
+                               atol=2e-2, rtol=2e-2)
+    # Head-motor columns are zeroed by the action pipeline in both.
+    np.testing.assert_allclose(np.asarray(B_ad[:, 0:2]), 0.0, atol=1e-6)
+
+    # --- in contact: the control Jacobian still agrees -------------------
+    x = flatten_physics(env0.physics)
+    _, B_fd_c = jax.jit(fd.linearize_dynamics)(env0, x, u)
+    _, B_ad_c = jax.jit(ad.linearize_dynamics)(env0, x, u)
+    np.testing.assert_allclose(np.asarray(B_fd_c), np.asarray(B_ad_c),
+                               atol=2e-2, rtol=2e-2)
 
 
 # ----------------------------------------------------------------- hybrid
