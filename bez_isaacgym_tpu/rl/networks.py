@@ -37,6 +37,25 @@ class ActorCritic(nn.Module):
         return mu, jnp.broadcast_to(log_std, mu.shape), value
 
 
+class CentralValue(nn.Module):
+    """Standalone value network for the runner's central-value option.
+
+    The reference runner builds an optional separate central-value network
+    from the train config (torch_runner.py:78-84); none of the shipped Bez
+    configs enable it, so the minimal faithful surface is a detached critic
+    MLP trained on the same observations (the Bez tasks expose no privileged
+    state tensor to feed it — documented in docs/DEVIATIONS.md)."""
+
+    units: Sequence[int] = (400, 200, 100)
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs
+        for u in self.units:
+            x = nn.elu(nn.Dense(u)(x))
+        return nn.Dense(1)(x)[..., 0]
+
+
 class RunningMeanStd(NamedTuple):
     """Streaming mean/var (rl-games running_mean_std parity)."""
 

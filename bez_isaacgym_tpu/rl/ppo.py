@@ -56,6 +56,12 @@ class PPOConfig:
     value_bootstrap: bool = True
     clip_value: bool = True
     units: tuple = (400, 200, 100)
+    # Central-value option (torch_runner.py:78-84 builds an optional
+    # separate central_value_config network): a detached critic MLP whose
+    # output replaces the shared value head.  The Bez tasks expose no
+    # privileged state, so it sees the same observations (DEVIATIONS.md).
+    central_value: bool = False
+    central_value_units: tuple = (400, 200, 100)
 
 
 class TrainState(NamedTuple):
@@ -91,6 +97,16 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
     single chip).
     """
     net = ActorCritic(num_actions=task.num_actions, units=cfg.units)
+    if cfg.central_value:
+        from bez_isaacgym_tpu.rl.networks import CentralValue
+        cv_net = CentralValue(units=cfg.central_value_units)
+
+        def _apply(params, x):
+            mu, log_std, _ = net.apply(params["ac"], x)
+            return mu, log_std, cv_net.apply(params["cv"], x)
+    else:
+        def _apply(params, x):
+            return net.apply(params, x)
     # The adaptive-KL learning rate lives in TrainState.lr and is applied
     # explicitly to the updates below — no optax internals are touched
     # (robust across optax versions; pinned by tests/test_rl.py).
@@ -112,8 +128,13 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
         return jax.lax.pmean(x, axis_name)
 
     def init_fn(key) -> TrainState:
-        k_net, k_state = jax.random.split(key)
-        params = net.init(k_net, jnp.zeros((1, task.num_obs), F32))
+        k_net, k_cv, k_state = jax.random.split(key, 3)
+        zero_obs = jnp.zeros((1, task.num_obs), F32)
+        if cfg.central_value:
+            params = {"ac": net.init(k_net, zero_obs),
+                      "cv": cv_net.init(k_cv, zero_obs)}
+        else:
+            params = net.init(k_net, zero_obs)
         return TrainState(
             params=params,
             opt_state=tx.init(params),
@@ -128,14 +149,14 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
         """Policy action for play/eval (players.py:41-66 parity: mu when
         deterministic, env action = limit * clip(a, -1, 1))."""
         x = ts.obs_rms.normalize(obs) if cfg.normalize_input else obs
-        mu, log_std, _ = net.apply(ts.params, x)
+        mu, log_std, _ = _apply(ts.params, x)
         a = mu if deterministic else mu + jnp.exp(log_std) * \
             jax.random.normal(key, mu.shape, F32)
         return action_limit * jnp.clip(a, -1.0, 1.0)
 
     def _policy(params, obs_rms, obs):
         x = obs_rms.normalize(obs) if cfg.normalize_input else obs
-        return net.apply(params, x)
+        return _apply(params, x)
 
     def rollout(ts: TrainState, env_state, last_obs):
         """Collect cfg.horizon steps from all envs (scan, fully on device)."""
@@ -210,7 +231,7 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
         def loss_fn(params, mb):
             obs, action, old_logp, old_v, mb_adv, mb_ret, old_mu, old_sigma = mb
             x = ts.obs_rms.normalize(obs) if cfg.normalize_input else obs
-            mu, log_std, value = net.apply(params, x)
+            mu, log_std, value = _apply(params, x)
             logp = gaussian_logp(mu, log_std, action)
             ratio = jnp.exp(logp - old_logp)
             surr1 = mb_adv * ratio

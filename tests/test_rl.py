@@ -88,6 +88,39 @@ def test_ppo_train_iter_and_player(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(a2), atol=1e-6)
 
 
+@pytest.mark.slow
+def test_ppo_central_value_option(tmp_path):
+    """Runner central-value parity (torch_runner.py:78-84): a separate
+    critic net supplies the value; training runs, params of BOTH nets
+    update, and checkpoints round-trip the nested params."""
+    task = KickTask(TaskConfig(substeps=1, use_pallas=False))
+    cfg = PPOConfig(horizon=2, minibatch_size=8, mini_epochs=1,
+                    units=(16, 16), central_value=True,
+                    central_value_units=(24,))
+    num_envs = 4
+    init_fn, train_iter, act_fn = make_ppo(task, num_envs, cfg)
+    ts = init_fn(jax.random.PRNGKey(0))
+    assert set(ts.params.keys()) == {"ac", "cv"}
+    keys = jax.random.split(jax.random.PRNGKey(1), num_envs)
+    env_state = jax.jit(jax.vmap(task.reset_one))(keys)
+    obs = jnp.zeros((num_envs, task.num_obs), jnp.float32)
+    ts2, env_state, obs, metrics = jax.jit(train_iter)(ts, env_state, obs)
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    for part in ("ac", "cv"):
+        delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             ts.params[part], ts2.params[part])
+        assert max(jax.tree.leaves(delta)) > 0, part
+
+    from bez_isaacgym_tpu.utils import checkpoint as ckpt
+    path = str(tmp_path / "cv.ckpt")
+    ckpt.save(path, ts2)
+    ts3 = ckpt.restore(path, init_fn(jax.random.PRNGKey(9)))
+    a = act_fn(ts3, jnp.zeros((2, 54)), deterministic=True)
+    a2 = act_fn(ts2, jnp.zeros((2, 54)), deterministic=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a2), atol=1e-6)
+
+
 def test_checkpoint_name_parity():
     from bez_isaacgym_tpu.utils.checkpoint import checkpoint_name, latest
     assert checkpoint_name("Bez_Kick", 33, 5981.31) == \
