@@ -9,6 +9,7 @@ bez_kickPPO.yaml:65-66) and metric logging.
 from __future__ import annotations
 
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -144,8 +145,34 @@ class Runner:
         total_reward = np.zeros(cfg.num_envs)
         episodes = 0
         ep_reward_sum = 0.0
-        frames = [] if cfg.render else None
+        # render="live" streams an MJPEG viewer with keyboard control
+        # (reference interactive viewer parity, vec_task.py:186-224);
+        # any other value records frames for a GIF/MP4.
+        live = None
+        frames = None
+        if cfg.render == "live":
+            from bez_isaacgym_tpu.viz.live import LiveViewer
+            live = LiveViewer()
+        elif cfg.render:
+            frames = []
+        t = 0
         for _ in range(num_steps):
+            if live is not None:
+                if live.quit_requested:   # ESC (vec_task.py:200,386-387)
+                    break
+                live.wait_if_paused()
+                if live.pop_reset():
+                    keys = jax.random.split(
+                        jax.random.PRNGKey(int(time.time())), cfg.num_envs)
+                    env_state = jax.jit(jax.vmap(self.task.reset_one))(keys)
+                    zero = jnp.zeros(self.task.num_actions, jnp.float32)
+                    obs, env_state = jax.jit(jax.vmap(
+                        lambda s: self.task.observe(s, zero)))(env_state)
+                live.publish(self.task.model,
+                             jax.tree.map(lambda x: np.asarray(x[0]),
+                                          env_state.physics),
+                             extra_title=f"t = {t / 60:.2f} s")
+                t += 1
             if frames is not None:
                 frames.append(jax.tree.map(lambda x: np.asarray(x[0]),
                                            env_state.physics))
@@ -169,6 +196,8 @@ class Runner:
         mean_ep = ep_reward_sum / max(1, episodes)
         print(f"played {num_steps} steps, {episodes} episodes, "
               f"mean episode reward {mean_ep:.2f}")
+        if live is not None:
+            live.close()
         if frames is not None:
             from bez_isaacgym_tpu.viz.render import render_episode
             render_episode(self.task.model, frames, cfg.render)

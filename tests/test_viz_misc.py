@@ -51,6 +51,50 @@ def test_render_frame_and_episode(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_live_viewer_stream_and_keys():
+    """Live viewer (reference interactive-viewer parity, vec_task.py:186-224):
+    serves the index page, publishes frames over HTTP, and maps the
+    QUIT / toggle-sync / pause / reset key surface onto loop flags."""
+    import urllib.request
+
+    from bez_isaacgym_tpu.models.bez import (READY_JOINT_ANGLES,
+                                             load_bez_model, pose_vector)
+    from bez_isaacgym_tpu.ops.engine import SceneConfig, default_state
+    from bez_isaacgym_tpu.viz.live import LiveViewer
+
+    viewer = LiveViewer(port=0, quiet=True, fps=1000.0)
+    base = f"http://localhost:{viewer.port}"
+    try:
+        html = urllib.request.urlopen(f"{base}/", timeout=5).read()
+        assert b"live viewer" in html
+
+        # A real rendered frame lands on /frame as a JPEG.
+        model = load_bez_model("stl")
+        q0 = pose_vector(model, READY_JOINT_ANGLES)
+        s = default_state(model, SceneConfig(), q0, (0, 0, 0.34),
+                          (0, 0, 0, 1))
+        assert viewer.publish(model, s, extra_title="t=0")
+        jpeg = urllib.request.urlopen(f"{base}/frame", timeout=5).read()
+        assert jpeg[:2] == b"\xff\xd8"  # JPEG SOI marker
+
+        def press(k):
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/key?k={k}", method="POST"), timeout=5)
+
+        press("sync")
+        assert viewer.enable_viewer_sync is False
+        assert viewer.publish(model, s) is False  # sync off: no render
+        press("pause")
+        assert viewer.paused is True
+        press("pause")
+        press("reset")
+        assert viewer.pop_reset() is True and viewer.pop_reset() is False
+        press("quit")
+        assert viewer.quit_requested is True
+    finally:
+        viewer.close()
+
+
 def test_kick_reward_debugger(tmp_path):
     from bez_isaacgym_tpu.tasks.kick import KickTask
     from bez_isaacgym_tpu.viz.debug_rewards import KickRewardDebugger
