@@ -1,0 +1,159 @@
+"""Closed-loop policy evals for the goalie and orient tasks.
+
+Produces the eval artifacts VERDICT r2 item 7 asked for:
+  - goalie: block rate vs the -10 m/s shot (task spec
+    /root/reference/resources/config/bez_goalie.yaml:17-21; an episode is
+    conceded when the ball passes the robot, goalie_env.py:625-632)
+  - orient: final heading error AND final height / up-projection (the
+    round-2 note said the policy "ends low" — this quantifies the posture
+    tradeoff instead of hand-waving it).
+
+Usage:
+    python -m bez_isaacgym_tpu.eval.task_eval --task goalie \
+        --checkpoint runs/Bez_Goalie/Bez_Goalie_best.ckpt
+    python -m bez_isaacgym_tpu.eval.task_eval --task orient \
+        --checkpoint runs/Bez_Orient/Bez_Orient_best.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _rollout(task, checkpoint: str, num_envs: int, steps: int, seed: int,
+             on_step):
+    """Shared closed-loop policy loop; `on_step(t, out, live)` accumulates."""
+    from bez_isaacgym_tpu.rl.players import PpoPlayerContinuous
+
+    player = PpoPlayerContinuous(task, checkpoint_path=checkpoint)
+    act = jax.jit(lambda ts, o: player._act(ts, o, jax.random.PRNGKey(0),
+                                            True))
+    step = jax.jit(task.step_batch)
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+    state = jax.jit(jax.vmap(task.reset_one))(keys)
+    zero = jnp.zeros(task.num_actions, jnp.float32)
+    obs, state = jax.jit(jax.vmap(lambda s: task.observe(s, zero)))(state)
+
+    finished = np.zeros(num_envs, bool)
+    for t in range(steps):
+        actions = act(player.train_state, obs)
+        out = step(state, actions)
+        live = ~finished
+        on_step(t, out, live)
+        finished |= np.asarray(out.done)
+        state, obs = out.state, out.obs
+        if finished.all():
+            break
+    return state
+
+
+def eval_goalie(checkpoint: str, num_envs: int = 64, steps: int = 1500,
+                seed: int = 0):
+    """Block rate vs the -10 m/s shot.
+
+    conceded  = ball passed the robot (the reference's -10000 reset,
+                goalie_env.py:625-632)
+    blocked   = episode ended (ball stopped / horizon) without conceding
+    cleared   = blocked AND the ball was sent back past x >= 1.0 m
+    """
+    from bez_isaacgym_tpu.tasks.goalie import GoalieTask
+
+    task = GoalieTask()
+    conceded = np.zeros(num_envs, bool)
+    blocked = np.zeros(num_envs, bool)
+    cleared = np.zeros(num_envs, bool)
+    fell = np.zeros(num_envs, bool)
+    min_ball_x = np.full(num_envs, np.inf)
+
+    def on_step(t, out, live):
+        ball_x = np.asarray(out.state.physics.ball_pos)[:, 0]
+        bez_x = np.asarray(out.state.physics.base_pos)[:, 0]
+        height = np.asarray(out.state.physics.base_pos)[:, 2]
+        np.minimum(min_ball_x, np.where(live, ball_x, np.inf),
+                   out=min_ball_x)
+        d = np.asarray(out.done) & live
+        passed = ball_x < bez_x
+        conceded[d & passed] = True
+        blocked[d & ~passed] = True
+        cleared[d & ~passed & (ball_x >= 1.0)] = True
+        fell[d & (height < 0.2)] = True   # goalie stands lower (z=0.29)
+
+    _rollout(task, checkpoint, num_envs, steps, seed, on_step)
+    return {
+        "num_envs": num_envs,
+        "shot_speed_mps": 10.0,
+        "block_rate": float(blocked.mean()),
+        "conceded_rate": float(conceded.mean()),
+        "clear_rate": float(cleared.mean()),
+        "fall_rate": float(fell.mean()),
+        "mean_min_ball_x_m": float(min_ball_x[np.isfinite(min_ball_x)].mean()),
+        "note": "blocked = episode ended without the ball passing the robot "
+                "(goalie_env.py:625-632 conceded reset); cleared = blocked "
+                "and ball returned past x>=1 m.",
+    }
+
+
+def eval_orient(checkpoint: str, num_envs: int = 64, steps: int = 600,
+                seed: int = 0):
+    """Final heading error + final posture (height, up-projection)."""
+    from bez_isaacgym_tpu.ops.quat import quat_axis
+    from bez_isaacgym_tpu.tasks.orient import OrientTask, compute_off_angle
+
+    task = OrientTask()
+    final_err = np.full(num_envs, np.nan)
+    final_height = np.full(num_envs, np.nan)
+    final_up = np.full(num_envs, np.nan)
+
+    def on_step(t, out, live):
+        quat = jnp.asarray(np.asarray(out.state.physics.base_quat))
+        _, ang = jax.vmap(compute_off_angle)(
+            quat, out.state.goal_angle)
+        err = np.abs(np.asarray(ang))
+        height = np.asarray(out.state.physics.base_pos)[:, 2]
+        up = np.asarray(quat_axis(quat, 2))[:, 2]
+        d = np.asarray(out.done) & live
+        final_err[d] = err[d]
+        final_height[d] = height[d]
+        final_up[d] = up[d]
+
+    _rollout(task, checkpoint, num_envs, steps, seed, on_step)
+    ok = ~np.isnan(final_err)
+    return {
+        "num_envs": num_envs,
+        "episodes_finished": int(ok.sum()),
+        "mean_final_angle_err_rad": float(np.nanmean(final_err)),
+        "median_final_angle_err_rad": float(np.nanmedian(final_err)),
+        "within_0.2rad": float((final_err[ok] < 0.2).mean()),
+        "mean_final_height_m": float(np.nanmean(final_height)),
+        "mean_final_up_proj": float(np.nanmean(final_up)),
+        "upright_rate": float((final_up[ok] > 0.7).mean()),
+        "note": "posture fields quantify the orient policy's "
+                "height-for-heading tradeoff (round-2 STATUS).",
+    }
+
+
+if __name__ == "__main__":
+    from bez_isaacgym_tpu.utils.backend import ensure_backend
+    ensure_backend()   # dead-tunnel hang guard (STATUS #7)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["goalie", "orient"], required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--num-envs", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    if args.task == "goalie":
+        res = eval_goalie(args.checkpoint, args.num_envs,
+                          args.steps or 1500, args.seed)
+    else:
+        res = eval_orient(args.checkpoint, args.num_envs,
+                          args.steps or 600, args.seed)
+    print(json.dumps(res, indent=1))
