@@ -145,6 +145,7 @@ class Runner:
         total_reward = np.zeros(cfg.num_envs)
         episodes = 0
         ep_reward_sum = 0.0
+        last_r0 = 0.0   # env-0 step reward for the live reward strip
         # render="live" streams an MJPEG viewer with keyboard control
         # (reference interactive viewer parity, vec_task.py:186-224);
         # any other value records frames for a GIF/MP4.
@@ -171,7 +172,8 @@ class Runner:
                 live.publish(self.task.model,
                              jax.tree.map(lambda x: np.asarray(x[0]),
                                           env_state.physics),
-                             extra_title=f"t = {t / 60:.2f} s")
+                             extra_title=f"t = {t / 60:.2f} s",
+                             reward=last_r0)
                 t += 1
             if frames is not None:
                 frames.append(jax.tree.map(lambda x: np.asarray(x[0]),
@@ -189,6 +191,7 @@ class Runner:
             env_state, obs = out.state, out.obs
             r = np.asarray(out.reward)
             d = np.asarray(out.done)
+            last_r0 = float(r[0])
             total_reward += r
             ep_reward_sum += float(total_reward[d].sum())
             episodes += int(d.sum())

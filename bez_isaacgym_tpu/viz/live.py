@@ -71,6 +71,8 @@ class LiveViewer:
         self._cond = threading.Condition()
         self._seq = 0
         self._fig = None
+        from collections import deque
+        self._rewards: deque = deque(maxlen=600)   # last 10 s at 60 Hz
 
         viewer = self
 
@@ -166,9 +168,18 @@ class LiveViewer:
             return self._frame
 
     # -------------------------------------------------------------- publish
-    def publish(self, model, physics, extra_title: str = "") -> bool:
+    def publish(self, model, physics, extra_title: str = "",
+                reward: float | None = None) -> bool:
         """Render + publish one frame if sync is on and the fps budget
-        allows; returns True when a frame was actually pushed."""
+        allows; returns True when a frame was actually pushed.
+
+        reward: per-step reward of the displayed env — accumulated into a
+        live reward strip under the 3D view (the reference's live debug
+        reward plot, kick_env.py:230-238 streams matplotlib reward
+        dashboards during stepping).  Rewards are recorded every call, even
+        when the frame itself is fps-throttled."""
+        if reward is not None:
+            self._rewards.append(float(reward))
         if not self.enable_viewer_sync:
             return False
         now = time.monotonic()
@@ -192,13 +203,22 @@ class LiveViewer:
         from bez_isaacgym_tpu.viz.render import render_frame
 
         if self._fig is None:
-            self._fig = plt.figure(figsize=(6.4, 4.8), dpi=100)
-            self._ax = self._fig.add_subplot(111, projection="3d")
+            self._fig = plt.figure(figsize=(6.4, 5.6), dpi=100)
+            grid = self._fig.add_gridspec(5, 1)
+            self._ax = self._fig.add_subplot(grid[:4], projection="3d")
+            self._ax_r = self._fig.add_subplot(grid[4])
         self._ax.cla()
         render_frame(model, physics, ax=self._ax,
                      ball=physics.ball_pos is not None)
         if title:
             self._ax.set_title(title)
+        if self._rewards:
+            self._ax_r.cla()
+            self._ax_r.plot(list(self._rewards), linewidth=0.8,
+                            color="tab:green")
+            self._ax_r.set_ylabel("reward", fontsize=7)
+            self._ax_r.tick_params(labelsize=6)
+            self._ax_r.margins(x=0)
         buf = io.BytesIO()
         self._fig.savefig(buf, format="jpeg")
         return buf.getvalue()

@@ -36,12 +36,48 @@ def _skeleton(model: RobotModel, physics) -> np.ndarray:
     return np.asarray(segs)
 
 
+_CORNER_SIGNS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                          for sz in (-1, 1)], np.float64)
+# Quad faces of a unit box in _CORNER_SIGNS index order.
+_BOX_FACES = [(0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4),
+              (2, 3, 7, 6), (0, 2, 6, 4), (1, 3, 7, 5)]
+
+
+def _box_faces_world(model: RobotModel, physics) -> list:
+    """World-space quad faces of the URDF collision boxes (viz volume).
+
+    The reference renders .obj/.dae visual meshes through the Isaac Gym
+    viewer; headless we draw the collision boxes the URDF compiler already
+    extracts — same silhouette, no mesh assets needed."""
+    import jax.numpy as jnp
+
+    frames = kin.forward_kinematics(
+        model, jnp.asarray(physics.q), jnp.asarray(physics.base_pos),
+        jnp.asarray(physics.base_quat))
+    rot = np.asarray(frames.rot)
+    pos = np.asarray(frames.pos)
+    faces = []
+    for i in range(len(model.box_body)):
+        b = int(model.box_body[i])
+        Rw = rot[b] @ model.box_rot[i]
+        ow = pos[b] + rot[b] @ model.box_pos[i]
+        corners = ow + (_CORNER_SIGNS * model.box_half[i]) @ Rw.T
+        faces.extend(corners[list(f)] for f in _BOX_FACES)
+    return faces
+
+
 def render_frame(model: RobotModel, physics, ax=None, ball: bool = True,
+                 boxes: bool = True,
                  lims=((-0.5, 1.5), (-0.75, 0.75), (0.0, 0.8))):
     """Draw one frame; returns the matplotlib axis."""
     if ax is None:
         fig = plt.figure(figsize=(6, 5))
         ax = fig.add_subplot(111, projection="3d")
+    if boxes and len(model.box_body):
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+        ax.add_collection3d(Poly3DCollection(
+            _box_faces_world(model, physics), facecolors="tab:blue",
+            edgecolors="none", alpha=0.18))
     segs = _skeleton(model, physics)
     for a, b in segs:
         ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]], "o-",
