@@ -51,6 +51,32 @@ def test_render_frame_and_episode(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_visual_meshes_render():
+    """Visual-mesh parity (soccerbot_stl.urdf <visual> .obj/.dae assets):
+    the shipped decimated meshes cover every movable Bez link and render
+    as world-space triangles through our FK."""
+    from bez_isaacgym_tpu.models.bez import (READY_JOINT_ANGLES,
+                                             load_bez_model, pose_vector)
+    from bez_isaacgym_tpu.ops.engine import SceneConfig, default_state
+    from bez_isaacgym_tpu.viz.render import _load_meshes, _mesh_polys_world
+
+    meshes = _load_meshes()
+    model = load_bez_model("stl")
+    assert set(model.body_names) <= set(meshes)   # all 19 links covered
+    for verts, faces in meshes.values():
+        assert verts.ndim == 2 and verts.shape[1] == 3
+        assert faces.max() < len(verts)
+        assert len(faces) <= 450                   # stays decimated
+    q0 = pose_vector(model, READY_JOINT_ANGLES)
+    s = default_state(model, SceneConfig(), q0, (0, 0, 0.34), (0, 0, 0, 1))
+    tris, shade = _mesh_polys_world(model, s)
+    assert len(tris) == len(shade) and len(tris) > 1000
+    allv = np.concatenate([np.asarray(t).reshape(-1, 3) for t in tris])
+    # The posed robot's mesh cloud sits in a plausible bounding volume.
+    assert allv[:, 2].min() > -0.05 and allv[:, 2].max() < 0.6
+    assert np.abs(allv[:, :2]).max() < 0.5
+
+
 def test_live_viewer_stream_and_keys():
     """Live viewer (reference interactive-viewer parity, vec_task.py:186-224):
     serves the index page, publishes frames over HTTP, and maps the
