@@ -194,7 +194,7 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
                    "balance_weight": balance_weight,
                    "terminal_balance_weight": terminal_balance_weight,
                    "policy_prior": policy_prior, "warm_skill": warm_skill,
-                   "use_sqp": use_sqp},
+                   "use_sqp": use_sqp, "substeps": substeps},
         "mean_ball_progress_m": float(progress_toward_goal.mean()),
         "success_rate": float((progress_toward_goal >= success_dist).mean()),
         "kicked_rate": float((progress_toward_goal >= 0.3).mean()),
@@ -223,6 +223,11 @@ if __name__ == "__main__":
                          "policy's closed-loop actions")
     ap.add_argument("--balance-weight", type=float, default=0.0)
     ap.add_argument("--terminal-balance-weight", type=float, default=0.0)
+    ap.add_argument("--substeps", type=int, default=2,
+                    help="env/rollout physics substeps; use 4 for "
+                         "like-for-like comparison with the policy eval "
+                         "(the policy is trained at 4 — at 2 it falls 4x "
+                         "as often, so MPC numbers at 2 are not comparable)")
     args = ap.parse_args()
     if args.solver in ("mppi", "hybrid"):
         res = eval_mppi(num_envs=args.num_envs, steps=args.steps,
@@ -232,7 +237,8 @@ if __name__ == "__main__":
                         use_sqp=args.solver == "hybrid",
                         policy_prior=args.policy_prior,
                         balance_weight=args.balance_weight,
-                        terminal_balance_weight=args.terminal_balance_weight)
+                        terminal_balance_weight=args.terminal_balance_weight,
+                        substeps=args.substeps)
     else:
         res = eval_policy(args.checkpoint, num_envs=args.num_envs,
                           steps=args.steps,

@@ -34,11 +34,12 @@ DESIRED_HEIGHT = 0.325  # kick_env.py:1125
 class MPPIConfig:
     horizon: int = 32          # BASELINE.md: 32-step horizon target
     num_samples: int = 32      # K rollouts per solve
-    sigma: float = 0.15        # exploration std [rad]; tuned round 2
-                               # (0.15/0.05 kicks 58/64 closed-loop vs
-                               # 55/64 at the round-1 0.25 default, with
-                               # +19% ball progress —
-                               # runs/Bez_Kick/mpc_kick_eval.json)
+    sigma: float = 0.15        # exploration std [rad].  Without a prior,
+                               # 0.15/0.05 kicks 58/64 closed-loop (round
+                               # 2); WITH the policy prior the best kick
+                               # config is sigma=0.03 residuals + balance
+                               # 0.6/terminal 10 -> success 95.3%, fall
+                               # 17.2% (runs/Bez_Kick/mpc_kick_eval.json)
     temperature: float = 0.05  # softmax temperature (lambda)
     gamma: float = 1.0         # reward discount along the horizon
     done_penalty: float = 10.0 # extra cost when a rollout terminates
