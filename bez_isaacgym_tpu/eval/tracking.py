@@ -21,9 +21,16 @@ Methodology (measured/derived in round 2, see docs/STATUS.md):
 - **Computed-torque feedforward** (kick): commands are lead-compensated
   with the engine's own inverse dynamics
   (control.controller.id_feedforward_targets), cancelling Stable-PD damping
-  lag — the round-1 dominant error term.  The walk gait is driven plain:
-  its open-loop stability relies on the natural lag (feedforward shifts
-  foot-strike timing and breaks the gait — measured, not assumed).
+  lag — the round-1 dominant error term.
+- **Walk: closed-loop, reference-style** (round 3).  The walk is driven the
+  way the reference drives its robot — walking IMU pitch PID applied every
+  tick (soccerbot_controller.py:27-45) — plus PARTIAL (alpha=0.3)
+  computed-torque feedforward.  alpha=0.3 is the measured frontier of the
+  joint-tracking/gait-stability tradeoff: stronger feedforward keeps
+  improving joint tracking (9.9% at alpha=0.5) but measurably destroys the
+  gait (the robot stops translating), and so do ILC and swing-gated
+  variants — the open-loop gait is a limit cycle stabilized by servo
+  compliance.  Full sweep: docs/TRACKING.json "walk_tradeoff_sweep".
 - **Stride calibration** (walk): the gait under-strides by a repeatable
   ~7% against this engine's contacts (torso sway shortens effective step
   length).  As on physical robots, the commanded goal is scaled by the
@@ -123,8 +130,21 @@ def kick_skill_tracking() -> dict:
             "kick_nrmse": _nrmse(achieved, oracle)}
 
 
-def walk_tracking(goal_x: float = 0.5) -> dict:
-    """Classical walk: joint tracking + final base position error."""
+def walk_tracking(goal_x: float = 0.5, ff_alpha: float = 0.3,
+                  imu_feedback: bool = True) -> dict:
+    """Classical walk: joint tracking + final base position error.
+
+    Driven closed-loop the way the reference drives its own robot
+    (soccerbot_controller.py run loop applies the walking IMU pitch PID
+    every tick): partial computed-torque feedforward (ff_alpha) + the
+    stabilizer's arm offsets.  ff_alpha=0.3 is the measured frontier of
+    the joint-tracking / gait-stability tradeoff — the full sweep is in
+    docs/TRACKING.json "walk_tradeoff_sweep"; pushing feedforward harder
+    tracks joints better but measurably destroys the gait (ff_alpha=0.5:
+    rel err 9.9% but the robot stops translating, final_x 0.002 m)."""
+    from bez_isaacgym_tpu.control.soccerbot import Joints, Soccerbot
+    from bez_isaacgym_tpu.ops.quat import quat_axis
+
     ctrl = SoccerbotController()
     times, angles = ctrl.plan_joint_trajectory(
         Transformation.from_xy_theta(goal_x * STRIDE_GAIN, 0.0, 0.0))
@@ -133,7 +153,30 @@ def walk_tracking(goal_x: float = 0.5) -> dict:
                    axis=1)
     oracle = rate_limited_oracle(raw, 1 / 60)
     task = WalkTask(TaskConfig(substeps=4, episode_length_s=60.0))
-    achieved, state = _drive(task, raw)
+    cmd = raw if ff_alpha == 0.0 else (
+        raw + ff_alpha * (id_feedforward_targets(task, t60, raw) - raw))
+
+    if imu_feedback:
+        bot = Soccerbot()
+        state = task.reset_one(jax.random.PRNGKey(0))
+        state = state._replace(physics=state.physics._replace(
+            q=task.default_dof_pos, qd=jnp.zeros(18)))
+        step = jax.jit(task.step_one)
+        default = np.asarray(task.default_dof_pos)
+        achieved = np.zeros_like(cmd)
+        for i in range(len(cmd)):
+            t = cmd[i].copy()
+            # Walking stabilizer (soccerbot.py:415-457): pitch PID -> arms.
+            x_axis = np.asarray(quat_axis(state.physics.base_quat, 0))
+            pitch = float(-np.arcsin(np.clip(x_axis[2], -1.0, 1.0)))
+            F = bot.apply_imu_feedback(pitch)
+            t[Joints.LEFT_ARM_1] += 5.0 * F
+            t[Joints.RIGHT_ARM_1] += 5.0 * F
+            out = step(state, jnp.asarray(t - default, F32))
+            state = out.state
+            achieved[i] = np.asarray(state.physics.q)
+    else:
+        achieved, state = _drive(task, cmd)
     rel, rms = _rel_err(achieved, oracle)
     final_x = float(state.physics.base_pos[0])
     return {

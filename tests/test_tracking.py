@@ -26,6 +26,8 @@ def test_walk_position_error_under_2pct():
     # The walk must actually walk (not stand at a small error).
     assert res["walk_final_x_m"] > 0.45, res
     assert 0.30 < res["walk_final_height_m"] < 0.36, res
-    # Joint-space regression guard (gait tracks its feasible plan within
-    # the open-loop gait's natural compliance envelope).
-    assert res["walk_rel_tracking_err"] < 0.18, res
+    # Joint-space regression guard.  Round-3 methodology (walking IMU PID +
+    # alpha=0.3 feedforward) measures 11.1%; the frontier sweep in
+    # docs/TRACKING.json shows better joint tracking measurably destroys
+    # the gait, so the bound pins the frontier rather than chasing <2%.
+    assert res["walk_rel_tracking_err"] < 0.13, res
