@@ -202,12 +202,100 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
     }
 
 
+def eval_sqp_policy(num_envs: int = 16, steps: int = 200,
+                    success_dist: float = 1.0, seed: int = 0,
+                    horizon: int = 32, iterations: int = 1,
+                    substeps: int = 4,
+                    policy_prior: str = "runs/Bez_Kick/Bez_Kick_best.ckpt"):
+    """Closed-loop SQP with a policy-rollout warm start (north-star stage 2
+    in the loop).
+
+    Each tick the deterministic PPO policy is unrolled H steps from the
+    current state to produce an ABSOLUTE action sequence, which the
+    SQP/iLQR stage polishes (solvers/sqp.py); the first polished action is
+    executed.  This is the standard policy-as-initializer MPC scheme — it
+    gives the gradient stage a closed-loop quality number, which the
+    residual-sampling MPPI prior cannot (HybridSolver rejects
+    prior_fn+use_sqp, solvers/hybrid.py:34-39).
+    """
+    from bez_isaacgym_tpu.rl.players import PpoPlayerContinuous
+    from bez_isaacgym_tpu.solvers.sqp import SQPConfig, SQPSolver, SQPState
+
+    task = KickTask(TaskConfig(substeps=substeps))
+    player = PpoPlayerContinuous(task, checkpoint_path=policy_prior)
+    ts = player.train_state
+    key0 = jax.random.PRNGKey(0)
+    solver = SQPSolver(task, SQPConfig(horizon=horizon,
+                                       iterations=iterations))
+
+    def policy_rollout(state):
+        """Unroll the deterministic policy H steps -> (S, H, nu) actions."""
+        def body(s, _):
+            obs, s = jax.vmap(task.observe)(
+                s, jnp.zeros((num_envs, task.num_actions), jnp.float32))
+            u = player._act(ts, obs, key0, True)
+            targets = jnp.clip(
+                jnp.clip(u, -task.cfg.clip_actions, task.cfg.clip_actions)
+                .at[:, 0:2].set(0.0) + task.default_dof_pos[None],
+                task.dof_lower[None], task.dof_upper[None])
+            physics = task._step_physics_batch(s.dyn, s.physics, targets)
+            s = s._replace(physics=physics, progress=s.progress + 1)
+            return s, u
+        _, us = jax.lax.scan(body, state, None, length=horizon)
+        return jnp.swapaxes(us, 0, 1)
+
+    def tick(state):
+        nominal = policy_rollout(state)
+        actions, _, info = solver.solve(state, SQPState(nominal=nominal))
+        return actions, info
+
+    tick_fn = jax.jit(tick)
+    step = jax.jit(task.step_batch)
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+    state = jax.jit(jax.vmap(task.reset_one))(keys)
+
+    goal = np.asarray(state.goal)
+    ball0 = np.asarray(state.physics.ball_pos)[:, :2]
+    init_goal_dist = np.linalg.norm(goal - ball0, axis=-1)
+    finished = np.zeros(num_envs, bool)
+    progress_toward_goal = np.zeros(num_envs)
+    fell = np.zeros(num_envs, bool)
+
+    for t in range(steps):
+        actions, _ = tick_fn(state)
+        out = step(state, actions)
+        ball = np.asarray(out.state.physics.ball_pos)[:, :2]
+        height = np.asarray(out.state.physics.base_pos)[:, 2]
+        goal_dist = np.linalg.norm(goal - ball, axis=-1)
+        live = ~finished
+        progress_toward_goal[live] = np.maximum(
+            progress_toward_goal[live], (init_goal_dist - goal_dist)[live])
+        d = np.asarray(out.done) & live
+        fell[d & (height < 0.275)] = True
+        finished |= np.asarray(out.done)
+        state = out.state
+        if finished.all():
+            break
+
+    return {
+        "num_envs": num_envs,
+        "config": {"solver": "sqp+policy_rollout", "horizon": horizon,
+                   "iterations": iterations, "substeps": substeps,
+                   "policy_prior": policy_prior},
+        "mean_ball_progress_m": float(progress_toward_goal.mean()),
+        "success_rate": float((progress_toward_goal >= success_dist).mean()),
+        "kicked_rate": float((progress_toward_goal >= 0.3).mean()),
+        "fall_rate": float(fell.mean()),
+    }
+
+
 if __name__ == "__main__":
     from bez_isaacgym_tpu.utils.backend import ensure_backend
     ensure_backend()   # dead-tunnel hang guard (STATUS #7)
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="")
-    ap.add_argument("--solver", default="", choices=["", "mppi", "hybrid"])
+    ap.add_argument("--solver", default="",
+                    choices=["", "mppi", "hybrid", "sqp-policy"])
     ap.add_argument("--warm-skill", default="",
                     help="keyframe skill for receding warm starts, e.g. "
                          "simulation_rightkick")
@@ -229,7 +317,12 @@ if __name__ == "__main__":
                          "(the policy is trained at 4 — at 2 it falls 4x "
                          "as often, so MPC numbers at 2 are not comparable)")
     args = ap.parse_args()
-    if args.solver in ("mppi", "hybrid"):
+    if args.solver == "sqp-policy":
+        res = eval_sqp_policy(num_envs=args.num_envs, steps=args.steps,
+                              horizon=args.horizon, substeps=args.substeps,
+                              policy_prior=args.policy_prior or
+                              "runs/Bez_Kick/Bez_Kick_best.ckpt")
+    elif args.solver in ("mppi", "hybrid"):
         res = eval_mppi(num_envs=args.num_envs, steps=args.steps,
                         sigma=args.sigma, temperature=args.temperature,
                         num_samples=args.num_samples, horizon=args.horizon,
