@@ -205,7 +205,7 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
 def eval_sqp_policy(num_envs: int = 16, steps: int = 200,
                     success_dist: float = 1.0, seed: int = 0,
                     horizon: int = 32, iterations: int = 1,
-                    substeps: int = 4,
+                    substeps: int = 4, warm_reg: float = 0.0,
                     policy_prior: str = "runs/Bez_Kick/Bez_Kick_best.ckpt"):
     """Closed-loop SQP with a policy-rollout warm start (north-star stage 2
     in the loop).
@@ -226,7 +226,8 @@ def eval_sqp_policy(num_envs: int = 16, steps: int = 200,
     ts = player.train_state
     key0 = jax.random.PRNGKey(0)
     solver = SQPSolver(task, SQPConfig(horizon=horizon,
-                                       iterations=iterations))
+                                       iterations=iterations,
+                                       warm_reg=warm_reg))
 
     def policy_rollout(state):
         """Unroll the deterministic policy H steps -> (S, H, nu) actions."""
@@ -281,7 +282,7 @@ def eval_sqp_policy(num_envs: int = 16, steps: int = 200,
         "num_envs": num_envs,
         "config": {"solver": "sqp+policy_rollout", "horizon": horizon,
                    "iterations": iterations, "substeps": substeps,
-                   "policy_prior": policy_prior},
+                   "warm_reg": warm_reg, "policy_prior": policy_prior},
         "mean_ball_progress_m": float(progress_toward_goal.mean()),
         "success_rate": float((progress_toward_goal >= success_dist).mean()),
         "kicked_rate": float((progress_toward_goal >= 0.3).mean()),
@@ -311,6 +312,9 @@ if __name__ == "__main__":
                          "policy's closed-loop actions")
     ap.add_argument("--balance-weight", type=float, default=0.0)
     ap.add_argument("--terminal-balance-weight", type=float, default=0.0)
+    ap.add_argument("--warm-reg", type=float, default=0.0,
+                    help="sqp-policy: quadratic tether to the policy-"
+                         "rollout warm start (trust region)")
     ap.add_argument("--substeps", type=int, default=2,
                     help="env/rollout physics substeps; use 4 for "
                          "like-for-like comparison with the policy eval "
@@ -320,6 +324,7 @@ if __name__ == "__main__":
     if args.solver == "sqp-policy":
         res = eval_sqp_policy(num_envs=args.num_envs, steps=args.steps,
                               horizon=args.horizon, substeps=args.substeps,
+                              warm_reg=args.warm_reg,
                               policy_prior=args.policy_prior or
                               "runs/Bez_Kick/Bez_Kick_best.ckpt")
     elif args.solver in ("mppi", "hybrid"):

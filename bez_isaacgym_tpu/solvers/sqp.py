@@ -66,6 +66,13 @@ class SQPConfig:
                                    # (parity oracle, tests/test_solvers.py).
     fd_eps: float = 1e-3           # central-diff step: truncation O(h^2)
                                    # ~1e-6 vs f32 roundoff O(eps/h) ~1e-4
+    warm_reg: float = 0.0          # trust-region tether: adds
+                                   # 0.5*warm_reg*|u - u_warmstart|^2 per
+                                   # step to the cost, so the polish stays
+                                   # a strict local improvement around a
+                                   # trusted nominal (e.g. a policy
+                                   # rollout) instead of chasing the task
+                                   # cost off-distribution.
 
 
 class SQPState(NamedTuple):
@@ -138,6 +145,13 @@ class SQPSolver:
     def _solve_one(self, env_state: EnvState, U: jnp.ndarray):
         cfg = self.cfg
         x0 = flatten_physics(env_state.physics)
+        U_ws = U      # trust-region anchor: the warm-start sequence
+
+        def tether(Us):
+            """0.5*warm_reg*|U - U_ws|^2 (0 when warm_reg == 0)."""
+            if cfg.warm_reg == 0.0:
+                return 0.0
+            return 0.5 * cfg.warm_reg * jnp.sum((Us - U_ws) ** 2)
 
         def rollout(U):
             def body(x, u):
@@ -155,14 +169,16 @@ class SQPSolver:
             # over the primal step ("fd", default — compiles the step once
             # under vmap) or one fused jacfwd over the concatenated (x, u)
             # ("jacfwd" oracle).
-            def lin(x, u):
+            def lin(x, u, u_ws):
                 z = jnp.concatenate([x, u])
                 g = jax.grad(
                     lambda zz: self._cost(env_state, zz[:NX], zz[NX:]))(z)
                 A, B = self.linearize_dynamics(env_state, x, u)
-                return A, B, g[:NX], g[NX:]
+                # Trust-region tether gradient (quadratic term is folded
+                # into the backward pass's LM regularizer below).
+                return A, B, g[:NX], g[NX:] + cfg.warm_reg * (u - u_ws)
 
-            A, Bm, cx, cu = jax.vmap(lin)(xs, U)
+            A, Bm, cx, cu = jax.vmap(lin)(xs, U, U_ws)
 
             # Riccati backward pass (Gauss-Newton: value Hessian from the
             # LM-regularized linear model).  The parallel variant evaluates
@@ -172,7 +188,11 @@ class SQPSolver:
                                                           sequential_backward)
             backward = (parallel_backward if cfg.parallel_riccati
                         else sequential_backward)
-            ks, Ks = backward(A, Bm, cx, cu, cfg.reg)
+            # warm_reg joins the LM regularizer (the backward pass uses one
+            # shared state+control quadratic; the extra state damping is
+            # benign, and the line search below scores the TRUE tethered
+            # cost, so descent is exact).
+            ks, Ks = backward(A, Bm, cx, cu, cfg.reg + cfg.warm_reg)
 
             # Forward pass with feedback, line-searched over alpha.
             def forward(alpha):
@@ -183,11 +203,11 @@ class SQPSolver:
                     x2 = self._f(env_state, x, u)
                     return x2, (u, self._cost(env_state, x2, u))
                 _, (Us, costs) = jax.lax.scan(body, x0, (U, xs, ks, Ks))
-                return Us, costs.sum()
+                return Us, costs.sum() + tether(Us)
 
             cand_U, cand_c = jax.vmap(forward)(
                 jnp.asarray(cfg.line_search, F32))
-            base_c = self._rollout_cost(env_state, U)
+            base_c = self._rollout_cost(env_state, U) + tether(U)
             best = jnp.argmin(cand_c)
             improved = cand_c[best] < base_c
             U_new = jnp.where(improved, cand_U[best], U)

@@ -172,6 +172,29 @@ def test_sqp_improves_bad_nominal(quad_task, qenv1):
     assert float(final_cost) < base
 
 
+def test_sqp_warm_reg_tethers_to_warm_start(quad_task, qenv1):
+    """Trust-region tether (sqp.py warm_reg): with a huge tether the solve
+    must stay at the warm start; with a moderate one it must move less
+    than the untethered solve while still descending the TETHERED cost."""
+    env0 = jax.tree.map(lambda x: x[0], qenv1)
+    H = 4
+    U0 = 0.1 * jnp.ones((H, quad_task.num_actions), F32)
+
+    def run(warm_reg):
+        solver = SQPSolver(quad_task, SQPConfig(horizon=H, iterations=2,
+                                                warm_reg=warm_reg))
+        U, cost = jax.jit(solver._solve_one)(env0, U0)
+        return np.asarray(U), float(cost)
+
+    U_free, _ = run(0.0)
+    U_soft, _ = run(1.0)
+    U_hard, _ = run(1e6)
+    dev = lambda U: float(np.abs(U - np.asarray(U0)).max())  # noqa: E731
+    assert dev(U_hard) < 1e-3               # pinned to the warm start
+    assert dev(U_soft) < dev(U_free) + 1e-6  # tether shrinks the step
+    assert dev(U_free) > 1e-3               # untethered solve does move
+
+
 def test_sqp_batched_solve_shapes(task, env1):
     cfg = SQPConfig(horizon=3, iterations=1)
     solver = SQPSolver(task, cfg)
