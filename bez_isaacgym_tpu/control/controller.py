@@ -70,6 +70,11 @@ class SoccerbotController:
         bot.set_goal(goal)
         dt = dt or bot.robot_path.step_size
         duration = bot.robot_path.duration()
+        if duration == 0:
+            # Goal == start: nothing to walk (reference parity — the run
+            # loop early-returns on zero-duration paths,
+            # soccerbot_controller.py:28-30); hold the ready pose.
+            return np.array([0.0]), bot.get_angles()[None].copy()
         times = np.arange(0.0, duration + 1e-9, dt)
         angles = np.zeros((len(times), 18))
         for i, t in enumerate(times):

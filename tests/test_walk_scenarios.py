@@ -40,6 +40,69 @@ def test_walk_scenario_plans(name, x, y, theta):
     assert np.all(angles[:, 4:10] <= model.dof_upper[4:10] + 0.1), name
 
 
+# The reference's EXACT pose-to-pose scenario matrix (test.py:32-175):
+# (name, start_pos, start_quat_xyzw, goal_pos, goal_quat_xyzw) — recorded
+# field poses with arbitrary quaternions (incl. slight roll/pitch).  In the
+# reference these reach the planner through the ROS localization harness
+# (test.py RUN_IN_ROS=True); poses entering the in-gym planner are always
+# yaw-only, and setGoal itself strips everything but yaw
+# (soccerbot.py:263-267), so start orientations are flattened to yaw here.
+REF_SCENARIOS = [
+    ("walk_1", [0.5, 0, 0], [0, 0, 0, 1], [2, 0, 0], [0, 0, 0, 1]),
+    ("walk_2", [-0.7384, -0.008, 0], [0, 0, 0, 1],
+     [0.0198, -0.0199, 0], [0, 0, 0, 1]),
+    ("walk_3", [-2.404, -1.0135, 0], [0, 0, -0.9979391070307153,
+     0.064168050139], [-2.26, -1.27, 0],
+     [0, 0, 0.997836202477347, 0.06574886330262358]),
+    ("walk_4", [0.3275415, 0.2841, 0.321],
+     [0.04060593, 0.0120126, 0.86708929, -0.4963497],
+     [-0.12015226, -0.19813691, 0.321], [0, 0, 0.95993011, -0.28023953]),
+    ("walk_5", [0.716, -0.4188, 0.0], [0.0149, -0.085, 0.9685, 0.2483],
+     [0.0859, -0.016, 0.0], [0, 0, 0.998, 0.0176]),
+    ("walk_6", [2.008, -0.646, 0.0], [0.0149, -0.0474, 0.99985, -0.0072],
+     [0.00736, 0.0356, 0.0], [0, 0, 0.998, 0.0176]),
+    ("walk_7", [2.082603318747387, 0.04499586647232634, 0.0],
+     [0.07888602209666294, -0.03018659995378454, 0.9054426772657052,
+      0.41597995490997813],
+     [2.5901226468203067, 0.7938447967981127, 0.0],
+     [0, 0, -0.9987013856398979, 0.050946465244882694]),
+    ("small_movement_4", [0.2489, -0.163, 0.0],
+     [0.0284, -0.003, 0.9939, 0.01986],
+     [0.0503, 0.06323, 0], [0, 0, 1, 0]),
+    ("small_movement_5", [0.3096807057334623, 0.09374110438873018, 0.0],
+     [0.03189331238935847, -0.0065516868290173, 0.9990119776602083,
+      0.03024831426656374],
+     [0.14076394628045208, -0.034574636811865296, 0],
+     [0, 0, -0.9999956132297835, -0.002962013029887055]),
+]
+
+
+@pytest.mark.parametrize(
+    "name,start_pos,start_quat,goal_pos,goal_quat", REF_SCENARIOS)
+def test_reference_pose_to_pose_scenarios(name, start_pos, start_quat,
+                                          goal_pos, goal_quat):
+    """The reference's recorded field poses must all plan cleanly from a
+    non-identity start pose (test.py sets walker pose, then goal)."""
+    ctrl = SoccerbotController()
+    yaw = Transformation(quaternion=start_quat).get_orientation_euler()[0]
+    ctrl.soccerbot.pose = Transformation.from_xy_theta(
+        start_pos[0], start_pos[1], yaw)
+    times, angles = ctrl.plan_joint_trajectory(
+        Transformation(position=goal_pos, quaternion=goal_quat))
+    assert len(times) > 5, name
+    assert not np.isnan(angles).any(), name
+    assert np.abs(np.diff(angles, axis=0)).max() < 0.6, name
+
+
+def test_do_nothing_scenario():
+    """Goal == start (test.py:168-175): the planner must not crash and the
+    resulting plan must stay at the ready pose (tiny joint excursions)."""
+    ctrl = SoccerbotController()
+    times, angles = ctrl.plan_joint_trajectory(Transformation())
+    assert not np.isnan(angles).any()
+    assert np.abs(angles - angles[0]).max() < 0.35
+
+
 def test_scenario_durations_scale_with_distance():
     ctrl = SoccerbotController()
     t_short, _ = ctrl.plan_joint_trajectory(Transformation.from_xy_theta(0.5, 0, 0))
