@@ -206,6 +206,7 @@ def eval_sqp_policy(num_envs: int = 16, steps: int = 200,
                     success_dist: float = 1.0, seed: int = 0,
                     horizon: int = 32, iterations: int = 1,
                     substeps: int = 4, warm_reg: float = 0.0,
+                    balance_weight: float = 0.0,
                     policy_prior: str = "runs/Bez_Kick/Bez_Kick_best.ckpt"):
     """Closed-loop SQP with a policy-rollout warm start (north-star stage 2
     in the loop).
@@ -227,7 +228,8 @@ def eval_sqp_policy(num_envs: int = 16, steps: int = 200,
     key0 = jax.random.PRNGKey(0)
     solver = SQPSolver(task, SQPConfig(horizon=horizon,
                                        iterations=iterations,
-                                       warm_reg=warm_reg))
+                                       warm_reg=warm_reg,
+                                       balance_weight=balance_weight))
 
     def policy_rollout(state):
         """Unroll the deterministic policy H steps -> (S, H, nu) actions."""
@@ -282,7 +284,8 @@ def eval_sqp_policy(num_envs: int = 16, steps: int = 200,
         "num_envs": num_envs,
         "config": {"solver": "sqp+policy_rollout", "horizon": horizon,
                    "iterations": iterations, "substeps": substeps,
-                   "warm_reg": warm_reg, "policy_prior": policy_prior},
+                   "warm_reg": warm_reg, "balance_weight": balance_weight,
+                   "policy_prior": policy_prior},
         "mean_ball_progress_m": float(progress_toward_goal.mean()),
         "success_rate": float((progress_toward_goal >= success_dist).mean()),
         "kicked_rate": float((progress_toward_goal >= 0.3).mean()),

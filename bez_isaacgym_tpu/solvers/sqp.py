@@ -73,6 +73,12 @@ class SQPConfig:
                                    # trusted nominal (e.g. a policy
                                    # rollout) instead of chasing the task
                                    # cost off-distribution.
+    balance_weight: float = 0.0    # subtracts balance_weight *
+                                   # balance_score(state) from the cost
+                                   # (solvers/mppi.py balance_score): the
+                                   # same stability shaping that fixed the
+                                   # MPPI kick's fall rate, available to
+                                   # the gradient stage.
 
 
 class SQPState(NamedTuple):
@@ -104,6 +110,9 @@ class SQPSolver:
         ph = unflatten_physics(x, env_state.physics)
         s = env_state._replace(physics=ph)
         reward, _ = self.task.reward_done(s, u)
+        if self.cfg.balance_weight:
+            from bez_isaacgym_tpu.solvers.mppi import balance_score
+            reward = reward + self.cfg.balance_weight * balance_score(ph)
         return -reward
 
     def linearize_dynamics(self, env_state: EnvState, x: jnp.ndarray,
