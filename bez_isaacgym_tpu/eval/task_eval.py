@@ -140,11 +140,62 @@ def eval_orient(checkpoint: str, num_envs: int = 64, steps: int = 600,
     }
 
 
+def eval_walk(checkpoint: str, num_envs: int = 64, steps: int = 600,
+              seed: int = 0):
+    """Goal-reach stats for the walk task (goal uniform in [-2,2]^2).
+
+    win        = the task's own 4-condition win state fired (near goal +
+                 near default pose + low ang/lin vel, walk_env.py:943-965)
+    reached    = closest approach to the goal < 0.25 m
+    final_dist = distance to goal when the episode ended
+    """
+    from bez_isaacgym_tpu.tasks.walk import WalkTask
+
+    task = WalkTask()
+    min_dist = np.full(num_envs, np.inf)
+    final_dist = np.full(num_envs, np.nan)
+    final_height = np.full(num_envs, np.nan)
+    fell = np.zeros(num_envs, bool)
+    won = np.zeros(num_envs, bool)
+
+    def on_step(t, out, live):
+        xy = np.asarray(out.state.physics.base_pos)[:, :2]
+        goal = np.asarray(out.state.goal)
+        dist = np.linalg.norm(goal - xy, axis=-1)
+        height = np.asarray(out.state.physics.base_pos)[:, 2]
+        np.minimum(min_dist, np.where(live, dist, np.inf), out=min_dist)
+        # The win state pays 1000*(1 - t/T) once: detect it from the reward.
+        w = np.asarray(out.reward) > 100.0
+        won[live & w] = True
+        d = np.asarray(out.done) & live
+        final_dist[d] = dist[d]
+        final_height[d] = height[d]
+        fell[d & (height < 0.275)] = True
+
+    _rollout(task, checkpoint, num_envs, steps, seed, on_step)
+    ok = ~np.isnan(final_dist)
+    return {
+        "num_envs": num_envs,
+        "episodes_finished": int(ok.sum()),
+        "win_rate": float(won.mean()),
+        "reach_rate_0.25m": float((min_dist < 0.25).mean()),
+        "mean_min_goal_dist_m": float(min_dist[np.isfinite(min_dist)].mean()),
+        "mean_final_goal_dist_m": float(np.nanmean(final_dist)),
+        "mean_final_height_m": float(np.nanmean(final_height)),
+        "fall_rate": float(fell.mean()),
+        "note": "goal uniform in [-2,2]^2 (up to 2.8 m away in a 10 s "
+                "episode); win = the task's 4-condition win state "
+                "(walk_env.py:943-965) detected via its 1000*(1-t/T) "
+                "payout.",
+    }
+
+
 if __name__ == "__main__":
     from bez_isaacgym_tpu.utils.backend import ensure_backend
     ensure_backend()   # dead-tunnel hang guard (STATUS #7)
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["goalie", "orient"], required=True)
+    ap.add_argument("--task", choices=["goalie", "orient", "walk"],
+                    required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--num-envs", type=int, default=64)
     ap.add_argument("--steps", type=int, default=0)
@@ -153,6 +204,9 @@ if __name__ == "__main__":
     if args.task == "goalie":
         res = eval_goalie(args.checkpoint, args.num_envs,
                           args.steps or 1500, args.seed)
+    elif args.task == "walk":
+        res = eval_walk(args.checkpoint, args.num_envs,
+                        args.steps or 600, args.seed)
     else:
         res = eval_orient(args.checkpoint, args.num_envs,
                           args.steps or 600, args.seed)
