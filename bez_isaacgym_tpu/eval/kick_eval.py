@@ -318,16 +318,24 @@ if __name__ == "__main__":
     ap.add_argument("--warm-reg", type=float, default=0.0,
                     help="sqp-policy: quadratic tether to the policy-"
                          "rollout warm start (trust region)")
-    ap.add_argument("--substeps", type=int, default=2,
-                    help="env/rollout physics substeps; use 4 for "
+    ap.add_argument("--substeps", type=int, default=0,
+                    help="env/rollout physics substeps (default: 4 for "
+                         "sqp-policy — matching both the function default "
+                         "and the shipped artifact — else 2); use 4 for "
                          "like-for-like comparison with the policy eval "
                          "(the policy is trained at 4 — at 2 it falls 4x "
                          "as often, so MPC numbers at 2 are not comparable)")
+    ap.add_argument("--iterations", type=int, default=1,
+                    help="sqp-policy: Gauss-Newton iterations per tick")
     args = ap.parse_args()
+    if not args.substeps:
+        args.substeps = 4 if args.solver == "sqp-policy" else 2
     if args.solver == "sqp-policy":
         res = eval_sqp_policy(num_envs=args.num_envs, steps=args.steps,
                               horizon=args.horizon, substeps=args.substeps,
                               warm_reg=args.warm_reg,
+                              iterations=args.iterations,
+                              balance_weight=args.balance_weight,
                               policy_prior=args.policy_prior or
                               "runs/Bez_Kick/Bez_Kick_best.ckpt")
     elif args.solver in ("mppi", "hybrid"):

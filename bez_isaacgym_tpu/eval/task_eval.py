@@ -158,14 +158,24 @@ def eval_walk(checkpoint: str, num_envs: int = 64, steps: int = 600,
     fell = np.zeros(num_envs, bool)
     won = np.zeros(num_envs, bool)
 
+    default_q = np.asarray(task.default_dof_pos)
+
     def on_step(t, out, live):
-        xy = np.asarray(out.state.physics.base_pos)[:, :2]
+        ph = out.state.physics
+        xy = np.asarray(ph.base_pos)[:, :2]
         goal = np.asarray(out.state.goal)
         dist = np.linalg.norm(goal - xy, axis=-1)
-        height = np.asarray(out.state.physics.base_pos)[:, 2]
+        height = np.asarray(ph.base_pos)[:, 2]
         np.minimum(min_dist, np.where(live, dist, np.inf), out=min_dist)
-        # The win state pays 1000*(1 - t/T) once: detect it from the reward.
-        w = np.asarray(out.reward) > 100.0
+        # Win = the task's own 4-condition predicate recomputed on the
+        # post-step state (walk_env.py:943-965) — NOT a reward threshold,
+        # which under-reports wins landing in the last ~10% of the episode
+        # (the payout 1000*(1-t/T) then drops below any fixed cutoff).
+        pos_err = np.linalg.norm(np.asarray(ph.q) - default_q, axis=-1)
+        vel_lin = np.linalg.norm(np.asarray(ph.base_u)[:, 0:3], axis=-1)
+        vel_ang = np.linalg.norm(np.asarray(ph.base_u)[:, 3:6], axis=-1)
+        w = ((dist < 0.05) & (pos_err < 0.15)
+             & (vel_ang < 0.1) & (vel_lin < 0.1))
         won[live & w] = True
         d = np.asarray(out.done) & live
         final_dist[d] = dist[d]
@@ -185,8 +195,8 @@ def eval_walk(checkpoint: str, num_envs: int = 64, steps: int = 600,
         "fall_rate": float(fell.mean()),
         "note": "goal uniform in [-2,2]^2 (up to 2.8 m away in a 10 s "
                 "episode); win = the task's 4-condition win state "
-                "(walk_env.py:943-965) detected via its 1000*(1-t/T) "
-                "payout.",
+                "(walk_env.py:943-965) recomputed from the post-step "
+                "state.",
     }
 
 

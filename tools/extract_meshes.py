@@ -51,19 +51,18 @@ def load_dae(path: str):
     txt = open(path).read()
     ns = {"c": re.search(r'xmlns="([^"]+)"', txt).group(1)}
     root = ET.fromstring(txt)
-    pos = root.find(".//c:source[@id]/c:float_array/..", ns)
     arrs, tris = [], []
     for src in root.iterfind(".//c:source", ns):
         if "position" in src.get("id", ""):
             fa = src.find("c:float_array", ns)
-            arrs.append(np.fromstring(fa.text, sep=" ").reshape(-1, 3))
+            arrs.append(np.array(fa.text.split(), dtype=np.float64).reshape(-1, 3))
     verts = np.concatenate(arrs, 0) if arrs else np.zeros((0, 3))
     for tr in root.iterfind(".//c:triangles", ns):
         inputs = tr.findall("c:input", ns)
         stride = max(int(i.get("offset")) for i in inputs) + 1
         voff = next(int(i.get("offset")) for i in inputs
                     if i.get("semantic") == "VERTEX")
-        p = np.fromstring(tr.find("c:p", ns).text, sep=" ", dtype=np.int64)
+        p = np.array(tr.find("c:p", ns).text.split(), dtype=np.int64)
         tris.append(p.reshape(-1, 3 * stride)[:, voff::stride])
     faces = np.concatenate(tris, 0) if tris else np.zeros((0, 3), np.int64)
     up = root.find(".//c:up_axis", ns)
@@ -138,12 +137,12 @@ def main():
         obj = fn[:-4] + ".obj"
         verts, faces = (load_obj(obj) if os.path.exists(obj)
                         else load_dae(fn))
-        scale = np.fromstring(mesh.get("scale", "1 1 1"), sep=" ")
+        scale = np.array(mesh.get("scale", "1 1 1").split(), dtype=np.float64)
         verts = verts * scale
         org = vis.find("origin")
         if org is not None:
-            xyz = np.fromstring(org.get("xyz", "0 0 0"), sep=" ")
-            rpy = np.fromstring(org.get("rpy", "0 0 0"), sep=" ")
+            xyz = np.array(org.get("xyz", "0 0 0").split(), dtype=np.float64)
+            rpy = np.array(org.get("rpy", "0 0 0").split(), dtype=np.float64)
             verts = verts @ euler_to_rot(rpy).T + xyz
         nv, nf = cluster_decimate(verts, faces, args.tris_per_link)
         out[f"{name}:verts"] = nv.astype(np.float32)
