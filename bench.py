@@ -212,38 +212,49 @@ def run_sqp_bench(horizon: int) -> dict:
     from bez_isaacgym_tpu.tasks.kick import KickTask
 
     if DEGRADED:
-        S, iters, reps = 2, 1, 2
+        S, reps, iter_list = 2, 2, (1,)
     else:
-        S, iters, reps = 16, 2, 5
+        # Primary config = the shipped closed-loop artifact's (1 GN
+        # iteration + line search per tick, runs/Bez_Kick/sqp_kick_eval.json);
+        # the 2-iteration variant is reported alongside for transparency.
+        S, reps, iter_list = 16, 5, (1, 2)
     task = KickTask(TaskConfig(substeps=2))
-    solver = SQPSolver(task, SQPConfig(horizon=horizon, iterations=iters))
     keys = jax.random.split(jax.random.PRNGKey(42), S)
     env = jax.jit(jax.vmap(task.reset_one))(keys)
     sqp = SQPState(nominal=jnp.zeros((S, horizon, task.num_actions),
                                      jnp.float32))
 
-    solve = jax.jit(solver.solve)
-    t0 = time.time()
-    u, s2, info = solve(env, sqp)
-    jax.block_until_ready(u)
-    compile_s = time.time() - t0
-    lat = []
-    for _ in range(reps):
+    out = {}
+    for iters in iter_list:
+        solver = SQPSolver(task, SQPConfig(horizon=horizon,
+                                           iterations=iters))
+        solve = jax.jit(solver.solve)
         t0 = time.time()
         u, s2, info = solve(env, sqp)
         jax.block_until_ready(u)
-        lat.append(time.time() - t0)
-    lat.sort()
-    p50 = lat[len(lat) // 2]
-    return {
-        "horizon": horizon,
-        "iterations": iters,
-        "parallel_solves": S,
-        "p50_batch_ms": round(p50 * 1e3, 2),
-        "p50_per_solve_ms": round(p50 / S * 1e3, 3),
-        "solves_per_s": round(S / p50, 1),
-        "compile_s": round(compile_s, 1),
-    }
+        compile_s = time.time() - t0
+        lat = []
+        for _ in range(reps):
+            t0 = time.time()
+            u, s2, info = solve(env, sqp)
+            jax.block_until_ready(u)
+            lat.append(time.time() - t0)
+        lat.sort()
+        p50 = lat[len(lat) // 2]
+        rec = {
+            "horizon": horizon,
+            "iterations": iters,
+            "parallel_solves": S,
+            "p50_batch_ms": round(p50 * 1e3, 2),
+            "p50_per_solve_ms": round(p50 / S * 1e3, 3),
+            "solves_per_s": round(S / p50, 1),
+            "compile_s": round(compile_s, 1),
+        }
+        if iters == iter_list[0]:
+            out.update(rec)
+        else:
+            out[f"iters{iters}"] = rec
+    return out
 
 
 def main():

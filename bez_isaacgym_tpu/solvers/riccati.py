@@ -29,6 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from bez_isaacgym_tpu.ops.linalg import cholesky_solve_unrolled
+
 
 class LQGains(NamedTuple):
     k: jnp.ndarray    # (T, m) feedforward
@@ -50,9 +52,13 @@ def sequential_backward(A, B, cx, cu, reg: float) -> LQGains:
         Qxx = A_t.T @ Vxx @ A_t + reg * I_n
         Quu = B_t.T @ Vxx @ B_t + reg * jnp.eye(m, dtype=A.dtype)
         Qux = B_t.T @ Vxx @ A_t
-        Quu_inv = jnp.linalg.inv(Quu)
-        k = -Quu_inv @ Qu
-        K = -Quu_inv @ Qux
+        # Quu is SPD (Gauss-Newton + LM reg): one unrolled Cholesky with
+        # [Qu | Qux] as stacked RHS — XLA's inv/LU custom calls inside the
+        # scan are the slow path on TPU (ops/linalg.py module docstring).
+        kK = -cholesky_solve_unrolled(
+            Quu, jnp.concatenate([Qu[:, None], Qux], axis=1))
+        k = kK[:, 0]
+        K = kK[:, 1:]
         Vx_new = Qx + K.T @ Qu
         Vxx_new = Qxx + K.T @ Qux
         Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
@@ -147,6 +153,7 @@ def parallel_backward(A, B, cx, cu, reg: float) -> LQGains:
     Quu = reg * jnp.eye(m, dtype=dt)[None] \
         + jnp.einsum("tnm,tnk,tkl->tml", B, J_next, B)
     Qux = jnp.einsum("tnm,tnk,tkl->tml", B, J_next, A)
-    k = -jnp.linalg.solve(Quu, Qu[..., None])[..., 0]
-    K = -jnp.linalg.solve(Quu, Qux)
-    return LQGains(k=k, K=K)
+    # SPD Quu: unrolled Cholesky with stacked RHS (no LU custom calls).
+    kK = -jax.vmap(cholesky_solve_unrolled)(
+        Quu, jnp.concatenate([Qu[..., None], Qux], axis=-1))
+    return LQGains(k=kK[..., 0], K=kK[..., 1:])

@@ -52,18 +52,33 @@ class SQPConfig:
     reg: float = 1e-3              # Levenberg-Marquardt regularization
     line_search: tuple = (1.0, 0.5, 0.25, 0.1)
     u_clip: float = 3.9
-    parallel_riccati: bool = True  # associative-scan backward pass
-                                   # (solvers/riccati.py; O(log H) depth)
-    linearize: str = "fd"          # "fd": central-difference dynamics
-                                   # Jacobian — 2*(NX+nu) vmapped PRIMAL
-                                   # step evals, so XLA compiles the step
-                                   # once instead of tracing its full
-                                   # forward-mode JVP (the round-2
-                                   # compile-time hog); the standard choice
-                                   # for smoothed-contact MPC (MuJoCo MPC
-                                   # linearizes by finite differences).
-                                   # "jacfwd": exact autodiff Jacobian
-                                   # (parity oracle, tests/test_solvers.py).
+    parallel_riccati: bool = False  # associative-scan backward pass
+                                   # (solvers/riccati.py; O(log H) depth).
+                                   # Pays off for large solve batches; at
+                                   # the production S<=16 the sequential
+                                   # scan is 2.2x faster on-chip (30 vs
+                                   # 67 ms, round-4 profile), so off by
+                                   # default.
+    linearize: str = "struct"      # "struct" (default): structured
+                                   # forward-mode Jacobian — per-substep
+                                   # jax.linearize with the SPD solve
+                                   # carrying a custom JVP that REUSES the
+                                   # primal Cholesky factor
+                                   # (ops/linalg.py:solve_spd_shared_factor,
+                                   # dx = H^-1(db - dH x)), chained across
+                                   # substeps by matmul composition inside
+                                   # a scan.  One primal + 76 cheap tangent
+                                   # substitutions per substep instead of
+                                   # the round-3 default's 152 full primal
+                                   # step evals (central differences) or
+                                   # the round-2 jacfwd's per-tangent
+                                   # refactorization; the substep JVP is
+                                   # traced once (compile-time lever).
+                                   # "jacfwd": one fused jacfwd over the
+                                   # whole step (autodiff oracle).
+                                   # "fd": central-difference oracle —
+                                   # autodiff-free cross-check
+                                   # (tests/test_solvers.py).
     fd_eps: float = 1e-3           # central-diff step: truncation O(h^2)
                                    # ~1e-6 vs f32 roundoff O(eps/h) ~1e-4
     warm_reg: float = 0.0          # trust-region tether: adds
@@ -89,21 +104,45 @@ class SQPSolver:
     """Batched iLQR: solve(env_states, sqp_states) -> refined first actions."""
 
     def __init__(self, task: BezTask, cfg: SQPConfig = SQPConfig()):
+        import dataclasses
+
+        from bez_isaacgym_tpu.ops.engine import make_step_fn
+
         self.task = task
         self.cfg = cfg
         self.nu = task.num_actions
+        # One-substep step function (dt = control_dt / substeps): the
+        # rollouts scan it `substeps` times and the structured linearization
+        # composes per-substep Jacobians through the same scan, so the
+        # substep body is traced/compiled ONCE per context instead of
+        # unrolled `substeps` times (compile-time lever, VERDICT r3 item 1).
+        self.n_sub = task.scene.substeps
+        sub_scene = dataclasses.replace(
+            task.scene, dt=task.scene.dt / self.n_sub, substeps=1)
+        self._substep_fn = make_step_fn(task.model, sub_scene)
 
     def init_state(self) -> SQPState:
         return SQPState(nominal=jnp.zeros((self.cfg.horizon, self.nu), F32))
 
     # -- single-env step/cost in flattened coordinates ----------------------
-    def _f(self, env_state: EnvState, x: jnp.ndarray, u: jnp.ndarray):
+    def _targets(self, u: jnp.ndarray) -> jnp.ndarray:
         task = self.task
-        ph = unflatten_physics(x, env_state.physics)
         uc = jnp.clip(u, -self.cfg.u_clip, self.cfg.u_clip).at[0:2].set(0.0)
-        targets = jnp.clip(uc + task.default_dof_pos,
-                           task.dof_lower, task.dof_upper)
-        ph2 = task._step_physics(env_state.dyn, ph, targets)
+        return jnp.clip(uc + task.default_dof_pos,
+                        task.dof_lower, task.dof_upper)
+
+    def _f(self, env_state: EnvState, x: jnp.ndarray, u: jnp.ndarray):
+        targets = self._targets(u)
+        ph = unflatten_physics(x, env_state.physics)
+        ph2, _ = jax.lax.scan(
+            lambda s, _: (self._substep_fn(env_state.dyn, s, targets), None),
+            ph, None, length=self.n_sub)
+        return flatten_physics(ph2)
+
+    def _f_sub(self, env_state: EnvState, x: jnp.ndarray, u: jnp.ndarray):
+        """ONE substep in flattened coordinates (linearization unit)."""
+        ph = unflatten_physics(x, env_state.physics)
+        ph2 = self._substep_fn(env_state.dyn, ph, self._targets(u))
         return flatten_physics(ph2)
 
     def _cost(self, env_state: EnvState, x: jnp.ndarray, u: jnp.ndarray):
@@ -119,11 +158,10 @@ class SQPSolver:
                            u: jnp.ndarray):
         """(A (NX,NX), B (NX,nu)): Jacobian of the step at (x, u).
 
-        cfg.linearize selects central differences over the primal step
-        (default — one vmapped primal compile instead of the step's full
-        forward-mode JVP trace) or the exact jacfwd oracle; parity between
-        the two is pinned by tests/test_solvers.py::test_fd_linearization_
-        matches_jacfwd."""
+        cfg.linearize selects the structured forward-mode Jacobian
+        (default — shared-factor solve JVP, see SQPConfig) or the
+        central-difference oracle; parity between the two is pinned by
+        tests/test_solvers.py::test_fd_linearization_matches_jacfwd."""
         cfg = self.cfg
         z = jnp.concatenate([x, u])
         nz = NX + self.nu
@@ -131,7 +169,30 @@ class SQPSolver:
         def f(zz):
             return self._f(env_state, zz[:NX], zz[NX:])
 
-        if cfg.linearize == "jacfwd":
+        if cfg.linearize == "struct":
+            # Chain-rule composition of per-substep Jacobians inside a
+            # scan: J_0 = [I | 0]; J_{k+1} = A_k J_k + [0 | B_k], where
+            # (A_k | B_k) comes from ONE jax.linearize of the substep
+            # (primal shared across the 76 basis tangents; the SPD solve
+            # tangent reuses the primal Cholesky factor via
+            # ops.linalg.solve_spd_shared_factor).  The substep JVP is
+            # traced once regardless of the substep count, and the
+            # composition is two MXU matmuls.
+            eye_z = jnp.eye(nz, dtype=F32)
+            J0 = eye_z[:NX]                                # (NX, nz) = [I|0]
+
+            def body(carry, _):
+                x_k, J = carry
+                zz = jnp.concatenate([x_k, u])
+                y, jvp = jax.linearize(
+                    lambda w: self._f_sub(env_state, w[:NX], w[NX:]), zz)
+                Js = jax.vmap(jvp)(eye_z).T                # (NX, nz)
+                J_new = Js[:, :NX] @ J
+                J_new = J_new.at[:, NX:].add(Js[:, NX:])
+                return (y, J_new), None
+
+            (_, J), _ = jax.lax.scan(body, (x, J0), None, length=self.n_sub)
+        elif cfg.linearize == "jacfwd":
             J = jax.jacfwd(f)(z)
         else:
             h = cfg.fd_eps
@@ -163,21 +224,25 @@ class SQPSolver:
             return 0.5 * cfg.warm_reg * jnp.sum((Us - U_ws) ** 2)
 
         def rollout(U):
+            """States BEFORE each action + the sequence's true (raw) cost."""
             def body(x, u):
                 x2 = self._f(env_state, x, u)
-                return x2, x
-            xH, xs = jax.lax.scan(body, x0, U)
-            return xs  # (H, nx) states *before* each action
+                return x2, (x, self._cost(env_state, x2, u))
+            _, (xs, costs) = jax.lax.scan(body, x0, U)
+            return xs, costs.sum()
 
-        def one_iteration(U, _):
-            xs = rollout(U)
+        def one_iteration(carry, _):
+            # The nominal trajectory xs and its raw cost ride the carry:
+            # the accepted line-search candidate IS the next nominal, so
+            # only the FIRST iteration pays a dedicated rollout (round-3
+            # re-rolled the nominal every iteration — 35 ms of the 476 ms
+            # per-iteration profile).
+            U, xs, base_cost = carry
 
             # Linearize dynamics + quadraticize cost along the nominal.
             # The cost gradient is always autodiff (no physics inside
-            # _cost); the dynamics Jacobian is either central differences
-            # over the primal step ("fd", default — compiles the step once
-            # under vmap) or one fused jacfwd over the concatenated (x, u)
-            # ("jacfwd" oracle).
+            # _cost); the dynamics Jacobian is the structured forward-mode
+            # path or the FD oracle (see linearize_dynamics).
             def lin(x, u, u_ws):
                 z = jnp.concatenate([x, u])
                 g = jax.grad(
@@ -192,7 +257,9 @@ class SQPSolver:
             # Riccati backward pass (Gauss-Newton: value Hessian from the
             # LM-regularized linear model).  The parallel variant evaluates
             # the same recursion in O(log H) depth via associative scan
-            # (solvers/riccati.py; SURVEY.md §7 hard part 3).
+            # (solvers/riccati.py; SURVEY.md §7 hard part 3) — worth it for
+            # large solve batches; at S<=16 the sequential scan measures
+            # 2.2x faster (30 vs 67 ms, round-4 profile).
             from bez_isaacgym_tpu.solvers.riccati import (parallel_backward,
                                                           sequential_backward)
             backward = (parallel_backward if cfg.parallel_riccati
@@ -203,27 +270,35 @@ class SQPSolver:
             # cost, so descent is exact).
             ks, Ks = backward(A, Bm, cx, cu, cfg.reg + cfg.warm_reg)
 
-            # Forward pass with feedback, line-searched over alpha.
+            # Forward pass with feedback, line-searched over alpha.  Each
+            # candidate also returns its pre-action states so the accepted
+            # one seeds the next iteration without re-rolling.
             def forward(alpha):
                 def body(x, inp):
                     u_n, x_n, k, K = inp
                     u = u_n + alpha * k + K @ (x - x_n)
                     u = jnp.clip(u, -cfg.u_clip, cfg.u_clip)
                     x2 = self._f(env_state, x, u)
-                    return x2, (u, self._cost(env_state, x2, u))
-                _, (Us, costs) = jax.lax.scan(body, x0, (U, xs, ks, Ks))
-                return Us, costs.sum() + tether(Us)
+                    return x2, (u, x, self._cost(env_state, x2, u))
+                _, (Us, xs_c, costs) = jax.lax.scan(body, x0, (U, xs, ks, Ks))
+                return Us, xs_c, costs.sum()
 
-            cand_U, cand_c = jax.vmap(forward)(
+            cand_U, cand_xs, cand_raw = jax.vmap(forward)(
                 jnp.asarray(cfg.line_search, F32))
-            base_c = self._rollout_cost(env_state, U) + tether(U)
+            cand_c = cand_raw + jax.vmap(tether)(cand_U) \
+                if cfg.warm_reg else cand_raw
+            base_c = base_cost + tether(U)
             best = jnp.argmin(cand_c)
             improved = cand_c[best] < base_c
             U_new = jnp.where(improved, cand_U[best], U)
-            return U_new, jnp.where(improved, cand_c[best], base_c)
+            xs_new = jnp.where(improved, cand_xs[best], xs)
+            cost_new = jnp.where(improved, cand_raw[best], base_cost)
+            return (U_new, xs_new, cost_new), \
+                jnp.where(improved, cand_c[best], base_c)
 
-        U_final, costs = jax.lax.scan(one_iteration, U,
-                                      None, length=cfg.iterations)
+        xs0, cost0 = rollout(U)
+        (U_final, _, _), costs = jax.lax.scan(one_iteration, (U, xs0, cost0),
+                                              None, length=cfg.iterations)
         return U_final, costs[-1]
 
     def solve(self, env_states: EnvState, sqp_states: SQPState, key=None):

@@ -251,6 +251,26 @@ def test_fd_linearization_matches_jacfwd(task, env1):
     np.testing.assert_allclose(np.asarray(B_fd_c), np.asarray(B_ad_c),
                                atol=2e-2, rtol=2e-2)
 
+    # --- struct (production default) == jacfwd, everywhere ---------------
+    # Both are exact pointwise derivatives (chain-rule composition of
+    # per-substep linearizations vs one fused forward-mode pass), so the
+    # parity bound is tight and holds IN CONTACT too — this pins the
+    # shared-factor solve JVP (ops/linalg.py:solve_spd_shared_factor) and
+    # the scan composition against plain autodiff (VERDICT r3 item 1's
+    # linearization-parity requirement).
+    st = SQPSolver(task, SQPConfig(horizon=4, linearize="struct"))
+    A_st, B_st = jax.jit(st.linearize_dynamics)(air, x_air, u)
+    np.testing.assert_allclose(np.asarray(A_st), np.asarray(A_ad),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(B_st), np.asarray(B_ad),
+                               atol=1e-4, rtol=1e-3)
+    A_st_c, B_st_c = jax.jit(st.linearize_dynamics)(env0, x, u)
+    A_ad_c, B_ad_full = jax.jit(ad.linearize_dynamics)(env0, x, u)
+    np.testing.assert_allclose(np.asarray(A_st_c), np.asarray(A_ad_c),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(B_st_c), np.asarray(B_ad_full),
+                               atol=1e-4, rtol=1e-3)
+
 
 # ----------------------------------------------------------------- hybrid
 
