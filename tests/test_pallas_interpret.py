@@ -5,12 +5,17 @@ trace through the Pallas interpreter on the CPU backend, so the 600+ line
 kernel generator keeps parity coverage even when no TPU is reachable (the
 hardware tests in test_pallas.py skip without one — VERDICT r2 item 4).
 
-The default-run test uses a tiny 3-body chain model: the kernel generator
-unrolls FK / dynamics / the (6+nq)^3 Cholesky solve in Python, so the
-full 21-body Bez trace through the interpret machinery takes >10 min on
-this image's CPU — the chain exercises the identical codegen paths (FK
-recursion, PD actuation, plane contacts, integration) in seconds.  The
-full-Bez interpret parity run is kept as a `slow`-marked test.
+Two default-run tests (VERDICT r3 item 7 — the production Bez-topology
+codegen must be covered by the default CPU invocation, not only the 3-body
+chain):
+- the tiny chain exercises the codegen paths (FK recursion, PD actuation,
+  plane contacts, integration) in seconds at substeps=2/B=8;
+- the full 21-body Bez + ball runs at substeps=1/B=2/2 steps, which
+  bounds the unrolled-kernel trace+compile at ~1 min cold (measured 63 s
+  for the interpret compile; the persistent compile cache in conftest
+  makes warm reruns take seconds).  The round-3 ">10 min" cost came from
+  substeps=2 x B=8 x 3 chained dispatches compiled cache-cold.
+The substeps=2 full-Bez variant stays as a `slow`-marked test.
 """
 
 import jax
@@ -60,7 +65,7 @@ def make_chain_model(nq: int = 2) -> RobotModel:
     )
 
 
-def _parity_case(model, cfg, B, q0, base_pos, atol):
+def _parity_case(model, cfg, B, q0, base_pos, atol, n_steps: int = 3):
     params = jax.tree.map(jnp.asarray, default_dyn_params(model))
     bparams = jax.tree.map(
         lambda x: jnp.broadcast_to(jnp.asarray(x),
@@ -80,7 +85,7 @@ def _parity_case(model, cfg, B, q0, base_pos, atol):
     pl_step = jax.jit(make_pallas_step_fn(model, cfg, block_b=B,
                                           interpret=True))
     ref, out = batch, batch
-    for _ in range(3):   # a few substeps so contacts + friction engage
+    for _ in range(n_steps):   # a few steps so contacts + friction engage
         ref = ref_step(bparams, ref, tg)
         out = pl_step(bparams, out, tg)
     np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q),
@@ -109,10 +114,21 @@ def test_interpret_matches_xla_engine_chain():
     assert float(jnp.abs(out.base_pos[:, 2] - 0.252).max()) < 0.02
 
 
-@pytest.mark.slow
 def test_interpret_matches_xla_engine_bez():
-    """Full-Bez interpret parity (slow: the unrolled 21-body kernel trace
-    through the interpreter takes many minutes on CPU — run on demand)."""
+    """Full-Bez (21 bodies + ball) interpret parity in the DEFAULT suite:
+    the production kernel topology, sized so the unrolled trace+compile
+    stays around a minute cold and seconds cache-warm (module docstring)."""
+    model = load_bez_model("stl")
+    cfg = SceneConfig(substeps=1)
+    q0 = jnp.asarray(pose_vector(model, READY_JOINT_ANGLES), F32)
+    _parity_case(model, cfg, B=2, q0=q0, base_pos=(0, 0, 0.34), atol=5e-3,
+                 n_steps=2)
+
+
+@pytest.mark.slow
+def test_interpret_matches_xla_engine_bez_substeps2():
+    """Full-Bez interpret parity at the production substep count (slow:
+    doubles the unrolled kernel trace)."""
     model = load_bez_model("stl")
     cfg = SceneConfig(substeps=2)
     q0 = jnp.asarray(pose_vector(model, READY_JOINT_ANGLES), F32)
