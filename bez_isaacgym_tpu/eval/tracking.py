@@ -131,7 +131,8 @@ def kick_skill_tracking() -> dict:
 
 
 def walk_tracking(goal_x: float = 0.5, ff_alpha: float = 0.3,
-                  imu_feedback: bool = True) -> dict:
+                  imu_feedback: bool = True,
+                  stance_gain: float = 0.0) -> dict:
     """Classical walk: joint tracking + final base position error.
 
     Driven closed-loop the way the reference drives its own robot
@@ -164,6 +165,11 @@ def walk_tracking(goal_x: float = 0.5, ff_alpha: float = 0.3,
         step = jax.jit(task.step_one)
         default = np.asarray(task.default_dof_pos)
         achieved = np.zeros_like(cmd)
+        kp0 = np.asarray(state.dyn.kp)
+        kd0 = np.asarray(state.dyn.kd)
+        lf, rf = task._foot_bodies
+        left_leg = slice(Joints.LEFT_LEG_1, Joints.LEFT_LEG_6 + 1)
+        right_leg = slice(Joints.RIGHT_LEG_1, Joints.RIGHT_LEG_6 + 1)
         for i in range(len(cmd)):
             t = cmd[i].copy()
             # Walking stabilizer (soccerbot.py:415-457): pitch PID -> arms.
@@ -172,6 +178,25 @@ def walk_tracking(goal_x: float = 0.5, ff_alpha: float = 0.3,
             F = bot.apply_imu_feedback(pitch)
             t[Joints.LEFT_ARM_1] += 5.0 * F
             t[Joints.RIGHT_ARM_1] += 5.0 * F
+            if stance_gain:
+                # Contact-phase gain scheduling (round-4 frontier attempt,
+                # VERDICT r3 item 6): stiffen the STANCE leg's servos by
+                # (1+stance_gain), critical-damping-matched kd, leaving the
+                # swing leg at the reference gains so foot-strike timing
+                # (which the swing-gated feedforward variant broke) is
+                # untouched.
+                cf = np.asarray(state.physics.body_contact_force)
+                kp = kp0.copy()
+                kd = kd0.copy()
+                scale = 1.0 + stance_gain
+                if cf[lf, 2] > 1.0:
+                    kp[left_leg] *= scale
+                    kd[left_leg] *= np.sqrt(scale)
+                if cf[rf, 2] > 1.0:
+                    kp[right_leg] *= scale
+                    kd[right_leg] *= np.sqrt(scale)
+                state = state._replace(dyn=state.dyn._replace(
+                    kp=jnp.asarray(kp, F32), kd=jnp.asarray(kd, F32)))
             out = step(state, jnp.asarray(t - default, F32))
             state = out.state
             achieved[i] = np.asarray(state.physics.q)

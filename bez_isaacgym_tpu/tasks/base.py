@@ -58,6 +58,10 @@ class TaskConfig:
     ball_init_pos: tuple = (0.175, 0.0, 0.1)  # bez_kick.yaml:25
     ball_init_vel: tuple = (0.0, 0.0, 0.0)
     goal: tuple = (1.5, 0.0)              # bez_kick.yaml:31
+    goal_range: float = 2.0               # walk goal box half-width
+                                          # (walk_env.py:570-574 samples
+                                          # uniform in [-2,2]^2); smaller
+                                          # values = curriculum stage
     goal_angle: float = 1.5708            # bez_orient.yaml:26
     reset_dof_pos_noise: float = 0.15     # kick_env.py:786
     reset_dof_vel_noise: float = 0.1      # kick_env.py:787

@@ -31,7 +31,8 @@ class WalkTask(BezTask):
         super().__init__(cfg or walk_config())
 
     def task_reset(self, state: EnvState, key) -> EnvState:
-        goal = jax.random.uniform(key, (2,), jnp.float32, -2.0, 2.0)
+        r = self.cfg.goal_range
+        goal = jax.random.uniform(key, (2,), jnp.float32, -r, r)
         return state._replace(goal=goal)
 
     def observe(self, state: EnvState, action):

@@ -28,6 +28,8 @@ def test_walk_position_error_under_2pct():
     assert 0.30 < res["walk_final_height_m"] < 0.36, res
     # Joint-space regression guard.  Round-3 methodology (walking IMU PID +
     # alpha=0.3 feedforward) measures 11.1%; the frontier sweep in
-    # docs/TRACKING.json shows better joint tracking measurably destroys
-    # the gait, so the bound pins the frontier rather than chasing <2%.
-    assert res["walk_rel_tracking_err"] < 0.13, res
+    # docs/TRACKING.json (incl. the round-4 stance-scheduled-gain attempts)
+    # shows better joint tracking measurably destroys the gait, so the
+    # bound pins the measured frontier (ratified in BASELINE.md) rather
+    # than chasing <2%.
+    assert res["walk_rel_tracking_err"] < 0.115, res
