@@ -91,7 +91,9 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
               substeps: int = 2, warm_skill: str = "",
               use_sqp: bool = False, done_penalty: float = 10.0,
               policy_prior: str = "", balance_weight: float = 0.0,
-              terminal_balance_weight: float = 0.0):
+              terminal_balance_weight: float = 0.0,
+              elite: bool = False, zero_nominal_sample: bool = False,
+              recovery_samples: int = 0, recovery_sigma: float = 0.1):
     """Closed-loop MPC kick eval.
 
     warm_skill: keyframe skill (e.g. "simulation_rightkick") used as a
@@ -112,7 +114,11 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
                           sigma=sigma, temperature=temperature,
                           done_penalty=done_penalty,
                           balance_weight=balance_weight,
-                          terminal_balance_weight=terminal_balance_weight)
+                          terminal_balance_weight=terminal_balance_weight,
+                          elite=elite,
+                          zero_nominal_sample=zero_nominal_sample,
+                          recovery_samples=recovery_samples,
+                          recovery_sigma=recovery_sigma)
     prior_fn = None
     if policy_prior:
         from bez_isaacgym_tpu.rl.players import PpoPlayerContinuous
@@ -194,7 +200,11 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
                    "balance_weight": balance_weight,
                    "terminal_balance_weight": terminal_balance_weight,
                    "policy_prior": policy_prior, "warm_skill": warm_skill,
-                   "use_sqp": use_sqp, "substeps": substeps},
+                   "use_sqp": use_sqp, "substeps": substeps,
+                   "elite": elite,
+                   "zero_nominal_sample": zero_nominal_sample,
+                   "recovery_samples": recovery_samples,
+                   "recovery_sigma": recovery_sigma},
         "mean_ball_progress_m": float(progress_toward_goal.mean()),
         "success_rate": float((progress_toward_goal >= success_dist).mean()),
         "kicked_rate": float((progress_toward_goal >= 0.3).mean()),
@@ -315,6 +325,16 @@ if __name__ == "__main__":
                          "policy's closed-loop actions")
     ap.add_argument("--balance-weight", type=float, default=0.0)
     ap.add_argument("--terminal-balance-weight", type=float, default=0.0)
+    ap.add_argument("--elite", action="store_true",
+                    help="execute the best-scoring sample (predictive "
+                         "sampling) instead of the softmax average")
+    ap.add_argument("--zero-nominal-sample", action="store_true",
+                    help="always score the unperturbed nominal (with a "
+                         "prior: the pure policy) as sample 0")
+    ap.add_argument("--recovery-samples", type=int, default=0,
+                    help="elite+prior only: absolute stand-biased sample "
+                         "family size (abort-and-balance recovery mode)")
+    ap.add_argument("--recovery-sigma", type=float, default=0.1)
     ap.add_argument("--warm-reg", type=float, default=0.0,
                     help="sqp-policy: quadratic tether to the policy-"
                          "rollout warm start (trust region)")
@@ -347,7 +367,10 @@ if __name__ == "__main__":
                         policy_prior=args.policy_prior,
                         balance_weight=args.balance_weight,
                         terminal_balance_weight=args.terminal_balance_weight,
-                        substeps=args.substeps)
+                        substeps=args.substeps, elite=args.elite,
+                        zero_nominal_sample=args.zero_nominal_sample,
+                        recovery_samples=args.recovery_samples,
+                        recovery_sigma=args.recovery_sigma)
     else:
         res = eval_policy(args.checkpoint, num_envs=args.num_envs,
                           steps=args.steps,

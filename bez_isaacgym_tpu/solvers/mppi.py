@@ -56,6 +56,33 @@ class MPPIConfig:
                                # that penalizes rollouts that topple just
                                # PAST the 0.53 s horizon (the round-2
                                # failure mode: kick, then fall).
+    elite: bool = False        # execute the argmax sample instead of the
+                               # softmax average (predictive-sampling /
+                               # best-of-K executor).  The averaged action
+                               # can be worse than every sample it blends
+                               # (residual averaging around a nonlinear
+                               # policy); the elite executor makes the
+                               # highest-scoring ROLLOUT the executed plan.
+    zero_nominal_sample: bool = False
+                               # force sample 0's noise to zero so the
+                               # unperturbed nominal (with a prior_fn: the
+                               # pure policy) is always among the scored
+                               # candidates — combined with `elite` this
+                               # makes the policy the FLOOR of the executed
+                               # behavior: MPC only deviates when a sampled
+                               # plan out-scores it (VERDICT r3 item 2).
+    recovery_samples: int = 0  # with a prior_fn + elite: the first R
+                               # samples are ABSOLUTE action sequences
+                               # drawn around the ready stand (N(0,
+                               # recovery_sigma)), not residuals around the
+                               # policy.  When an initial condition dooms
+                               # every policy-guided rollout (the round-3
+                               # fall cluster: the same envs fall under
+                               # policy, MPPI-average, and SQP alike), an
+                               # abort-and-balance plan can out-score them
+                               # and the elite executor switches to it for
+                               # that tick.  Requires elite=True.
+    recovery_sigma: float = 0.1
 
 
 def balance_score(physics) -> jnp.ndarray:
@@ -104,12 +131,15 @@ class MPPISolver:
         return MPPIState(nominal=jnp.zeros(
             (self.cfg.horizon, self.task.num_actions), F32))
 
-    def _rollout_scores(self, env_states: EnvState, seqs: jnp.ndarray):
+    def _rollout_scores(self, env_states: EnvState, seqs: jnp.ndarray,
+                        absolute: jnp.ndarray | None = None):
         """Total discounted rewards (N,) for N flattened rollouts.
 
         env_states: batched EnvState with leading dim N; seqs (N, H, nq) —
         absolute actions, or residuals around the policy prior when
-        `prior_fn` is set.
+        `prior_fn` is set.  `absolute` (N,) bool marks rollouts whose
+        sequences are absolute actions even under a prior (the recovery
+        family — see MPPIConfig.recovery_samples).
         """
         task, cfg = self.task, self.cfg
         N = seqs.shape[0]
@@ -118,7 +148,11 @@ class MPPISolver:
             s, alive, u_prev = carry                     # batched (N, ...)
             if self.prior_fn is not None:
                 obs, s = jax.vmap(task.observe)(s, u_prev)
-                u_t = self.prior_fn(obs) + u_t
+                prior_u = self.prior_fn(obs)
+                if absolute is not None:
+                    u_t = jnp.where(absolute[:, None], u_t, prior_u + u_t)
+                else:
+                    u_t = prior_u + u_t
             u = jnp.clip(u_t, -task.cfg.clip_actions, task.cfg.clip_actions)
             u = u.at[:, 0:2].set(0.0)
             targets = jnp.clip(u + task.default_dof_pos[None],
@@ -156,16 +190,35 @@ class MPPISolver:
         cfg = self.cfg
         S, H, na = mppi_states.nominal.shape
         K = cfg.num_samples
+        R = cfg.recovery_samples if self.prior_fn is not None else 0
+        assert R == 0 or cfg.elite, "recovery_samples requires elite=True"
         eps = cfg.sigma * jax.random.normal(key, (S, K, H, na), F32)
+        if cfg.zero_nominal_sample:
+            eps = eps.at[:, R].set(0.0)
         seqs = mppi_states.nominal[:, None] + eps        # (S,K,H,na)
+        abs_flags = None
+        if R:
+            # Recovery family: absolute stand-biased sequences (sample 0
+            # is the pure ready stand, the rest N(0, recovery_sigma)).
+            k_rec = jax.random.fold_in(key, 1)
+            rec = cfg.recovery_sigma * jax.random.normal(
+                k_rec, (S, R, H, na), F32)
+            rec = rec.at[:, 0].set(0.0)
+            seqs = jnp.concatenate([rec, seqs[:, R:]], axis=1)
+            abs_flags = jnp.repeat(
+                jnp.arange(K)[None] < R, S, axis=0).reshape(S * K)
 
         flat_states = jax.tree.map(
             lambda x: jnp.repeat(x, K, axis=0), env_states)
         scores = self._rollout_scores(
-            flat_states, seqs.reshape(S * K, H, na)).reshape(S, K)
+            flat_states, seqs.reshape(S * K, H, na), abs_flags).reshape(S, K)
 
         w = jax.nn.softmax(scores / cfg.temperature, axis=-1)   # (S,K)
-        new_nominal = jnp.einsum("sk,skhj->shj", w, seqs)
+        if cfg.elite:
+            best = jnp.argmax(scores, axis=-1)                  # (S,)
+            new_nominal = seqs[jnp.arange(S), best]
+        else:
+            new_nominal = jnp.einsum("sk,skhj->shj", w, seqs)
         if self.prior_fn is not None:
             # nominal is a residual; the executed action is prior + residual
             # (obs at t=0 is sample-independent, so the weighted average of
@@ -173,6 +226,15 @@ class MPPISolver:
             obs0, _ = jax.vmap(self.task.observe)(
                 env_states, jnp.zeros((S, na), F32))
             actions = self.prior_fn(obs0) + new_nominal[:, 0]
+            if R:
+                # A winning recovery plan executes its ABSOLUTE action and
+                # resets the carried residual to zero (the recovery mode is
+                # re-evaluated fresh each tick, not warm-started).
+                won_rec = best < R                               # (S,)
+                actions = jnp.where(won_rec[:, None],
+                                    new_nominal[:, 0], actions)
+                new_nominal = jnp.where(won_rec[:, None, None],
+                                        0.0, new_nominal)
         else:
             actions = new_nominal[:, 0]
         shifted = jnp.concatenate([new_nominal[:, 1:], new_nominal[:, -1:]],

@@ -305,3 +305,40 @@ def test_hybrid_solve_runs_and_polishes(task, env1):
     actions, state2, info = jax.jit(solver.solve)(env1, state, key)
     assert actions.shape == (1, task.num_actions)
     assert float(info["cost"][0]) <= init_cost + 1e-3
+
+
+def test_mppi_elite_and_zero_nominal_sample(task, env1):
+    """elite + zero_nominal_sample: with zero exploration noise the elite
+    executor must reproduce the nominal exactly (the zero sample IS the
+    argmax), pinning the best-of-K path against the softmax average."""
+    cfg = MPPIConfig(horizon=3, num_samples=4, sigma=0.0, elite=True,
+                     zero_nominal_sample=True)
+    solver = MPPISolver(task, cfg)
+    nominal = 0.1 * jnp.ones((1, 3, task.num_actions), F32)
+    actions, st2, info = jax.jit(solver.solve)(
+        env1, MPPIState(nominal=nominal), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(actions),
+                               np.asarray(nominal[:, 0]), atol=1e-6)
+    # Receding-horizon shift of the elite sequence.
+    np.testing.assert_allclose(np.asarray(st2.nominal[:, 0]),
+                               np.asarray(nominal[:, 1]), atol=1e-6)
+
+
+def test_mppi_recovery_family_switches_to_stand(task, env1):
+    """With a deliberately catastrophic prior (full-authority flail) and a
+    zero-noise recovery family, the elite executor must pick the absolute
+    stand plan: executed action == 0 (ready stand) and the carried residual
+    resets to zero."""
+    def bad_prior(obs):
+        return jnp.full((obs.shape[0], task.num_actions), 3.9, F32)
+
+    cfg = MPPIConfig(horizon=3, num_samples=4, sigma=0.0, elite=True,
+                     zero_nominal_sample=True, recovery_samples=2,
+                     recovery_sigma=0.0,
+                     balance_weight=1.0, terminal_balance_weight=5.0)
+    solver = MPPISolver(task, cfg, prior_fn=bad_prior)
+    mppi = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape),
+                        solver.init_state())
+    actions, st2, _ = jax.jit(solver.solve)(env1, mppi, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(actions), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st2.nominal), 0.0, atol=1e-6)
