@@ -93,7 +93,8 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
               policy_prior: str = "", balance_weight: float = 0.0,
               terminal_balance_weight: float = 0.0,
               elite: bool = False, zero_nominal_sample: bool = False,
-              recovery_samples: int = 0, recovery_sigma: float = 0.1):
+              recovery_samples: int = 0, recovery_sigma: float = 0.1,
+              recovery_gate: float = 0.0):
     """Closed-loop MPC kick eval.
 
     warm_skill: keyframe skill (e.g. "simulation_rightkick") used as a
@@ -118,7 +119,8 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
                           elite=elite,
                           zero_nominal_sample=zero_nominal_sample,
                           recovery_samples=recovery_samples,
-                          recovery_sigma=recovery_sigma)
+                          recovery_sigma=recovery_sigma,
+                          recovery_gate=recovery_gate)
     prior_fn = None
     if policy_prior:
         from bez_isaacgym_tpu.rl.players import PpoPlayerContinuous
@@ -204,7 +206,8 @@ def eval_mppi(num_envs: int = 64, steps: int = 600, success_dist: float = 1.0,
                    "elite": elite,
                    "zero_nominal_sample": zero_nominal_sample,
                    "recovery_samples": recovery_samples,
-                   "recovery_sigma": recovery_sigma},
+                   "recovery_sigma": recovery_sigma,
+                   "recovery_gate": recovery_gate},
         "mean_ball_progress_m": float(progress_toward_goal.mean()),
         "success_rate": float((progress_toward_goal >= success_dist).mean()),
         "kicked_rate": float((progress_toward_goal >= 0.3).mean()),
@@ -335,6 +338,7 @@ if __name__ == "__main__":
                     help="elite+prior only: absolute stand-biased sample "
                          "family size (abort-and-balance recovery mode)")
     ap.add_argument("--recovery-sigma", type=float, default=0.1)
+    ap.add_argument("--recovery-gate", type=float, default=0.0)
     ap.add_argument("--warm-reg", type=float, default=0.0,
                     help="sqp-policy: quadratic tether to the policy-"
                          "rollout warm start (trust region)")
@@ -370,7 +374,8 @@ if __name__ == "__main__":
                         substeps=args.substeps, elite=args.elite,
                         zero_nominal_sample=args.zero_nominal_sample,
                         recovery_samples=args.recovery_samples,
-                        recovery_sigma=args.recovery_sigma)
+                        recovery_sigma=args.recovery_sigma,
+                        recovery_gate=args.recovery_gate)
     else:
         res = eval_policy(args.checkpoint, num_envs=args.num_envs,
                           steps=args.steps,

@@ -83,6 +83,15 @@ class MPPIConfig:
                                # and the elite executor switches to it for
                                # that tick.  Requires elite=True.
     recovery_sigma: float = 0.1
+    recovery_gate: float = 0.0 # recovery samples are only ELIGIBLE when
+                               # the pure-policy rollout's terminal balance
+                               # score falls below this gate (balance_score
+                               # < 0 ~ fallen/falling) — otherwise a
+                               # balance-shaped stand out-scores a healthy
+                               # kick and the solver never kicks (measured:
+                               # ungated recovery gives kicked_rate 0.0).
+                               # Semantics: defer to the policy unless the
+                               # policy's own plan ends fallen.
 
 
 def balance_score(physics) -> jnp.ndarray:
@@ -145,7 +154,7 @@ class MPPISolver:
         N = seqs.shape[0]
 
         def body(carry, u_t):
-            s, alive, u_prev = carry                     # batched (N, ...)
+            s, alive, fallen, u_prev = carry             # batched (N, ...)
             if self.prior_fn is not None:
                 obs, s = jax.vmap(task.observe)(s, u_prev)
                 prior_u = self.prior_fn(obs)
@@ -165,20 +174,26 @@ class MPPISolver:
             reward = jnp.where(alive, reward, 0.0)
             terminal = alive & done & (s.progress < task.cfg.max_episode_length)
             reward = reward - cfg.done_penalty * terminal.astype(F32)
+            fallen = fallen | (alive & (physics.base_pos[..., 2] < 0.275))
             alive = alive & ~done
-            return (s, alive, u), reward
+            return (s, alive, fallen, u), reward
 
-        init = (env_states, jnp.ones(N, bool),
+        init = (env_states, jnp.ones(N, bool), jnp.zeros(N, bool),
                 jnp.zeros((N, task.num_actions), F32))
-        (final_s, alive, _), rewards = jax.lax.scan(
+        (final_s, alive, fallen, _), rewards = jax.lax.scan(
             body, init, jnp.swapaxes(seqs, 0, 1))
         disc = cfg.gamma ** jnp.arange(cfg.horizon, dtype=F32)
         total = jnp.einsum("hn,h->n", rewards, disc)
+        # Doom indicator for the recovery gate: a rollout is doomed iff the
+        # robot FELL during it, or it is still running and ends unbalanced.
+        # Non-fall terminations (scored / out-of-bounds) are NOT doom.
+        stab = jnp.where(fallen, -2.0,
+                         jnp.where(alive, balance_score(final_s.physics),
+                                   1.0))
         if cfg.terminal_balance_weight:
-            stab = balance_score(final_s.physics)
             total = total + cfg.terminal_balance_weight * jnp.where(
-                alive, stab, 0.0)
-        return total
+                alive, balance_score(final_s.physics), 0.0)
+        return total, stab
 
     def solve(self, env_states: EnvState, mppi_states: MPPIState, key):
         """One MPC solve for S envs at once.
@@ -191,7 +206,9 @@ class MPPISolver:
         S, H, na = mppi_states.nominal.shape
         K = cfg.num_samples
         R = cfg.recovery_samples if self.prior_fn is not None else 0
-        assert R == 0 or cfg.elite, "recovery_samples requires elite=True"
+        assert R == 0 or (cfg.elite and cfg.zero_nominal_sample), \
+            "recovery_samples requires elite + zero_nominal_sample (the " \
+            "gate reads the pure-policy rollout at sample index R)"
         eps = cfg.sigma * jax.random.normal(key, (S, K, H, na), F32)
         if cfg.zero_nominal_sample:
             eps = eps.at[:, R].set(0.0)
@@ -210,8 +227,17 @@ class MPPISolver:
 
         flat_states = jax.tree.map(
             lambda x: jnp.repeat(x, K, axis=0), env_states)
-        scores = self._rollout_scores(
-            flat_states, seqs.reshape(S * K, H, na), abs_flags).reshape(S, K)
+        scores, stab = self._rollout_scores(
+            flat_states, seqs.reshape(S * K, H, na), abs_flags)
+        scores = scores.reshape(S, K)
+        if R:
+            # Recovery eligibility gate: only when the PURE-POLICY rollout
+            # (the zero-residual sample at index R) is doomed — fell, or
+            # ends the horizon unbalanced — may a recovery plan win.
+            # Otherwise a balance-shaped stand out-scores a healthy kick.
+            doomed = stab.reshape(S, K)[:, R] < cfg.recovery_gate   # (S,)
+            mask = jnp.arange(K)[None, :] < R                       # (1,K)
+            scores = jnp.where(mask & ~doomed[:, None], -jnp.inf, scores)
 
         w = jax.nn.softmax(scores / cfg.temperature, axis=-1)   # (S,K)
         if cfg.elite:

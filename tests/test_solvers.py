@@ -64,7 +64,7 @@ def test_mppi_improves_bad_nominal(quad_task, qenv1):
 
     def score_of(nominal):
         """Score a (1,H,nq) nominal by rolling it out (no noise)."""
-        return float(jax.jit(solver._rollout_scores)(qenv1, nominal)[0])
+        return float(jax.jit(solver._rollout_scores)(qenv1, nominal)[0][0])
 
     # -0.3 keeps every joint target interior to its limits (a larger offset
     # saturates the target clamp and makes all sampled rollouts identical).
@@ -332,9 +332,12 @@ def test_mppi_recovery_family_switches_to_stand(task, env1):
     def bad_prior(obs):
         return jnp.full((obs.shape[0], task.num_actions), 3.9, F32)
 
+    # recovery_gate=10 keeps the recovery family always eligible (the
+    # production gate requires the pure-policy rollout to end doomed, which
+    # a 3-step horizon cannot establish).
     cfg = MPPIConfig(horizon=3, num_samples=4, sigma=0.0, elite=True,
                      zero_nominal_sample=True, recovery_samples=2,
-                     recovery_sigma=0.0,
+                     recovery_sigma=0.0, recovery_gate=10.0,
                      balance_weight=1.0, terminal_balance_weight=5.0)
     solver = MPPISolver(task, cfg, prior_fn=bad_prior)
     mppi = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape),
