@@ -35,6 +35,15 @@ class PPOConfig:
     gamma: float = 0.99
     tau: float = 0.95
     learning_rate: float = 3e-4
+    lr_max: float = 1e-2        # adaptive-KL LR ceiling.  Lower it (e.g.
+                                # 2e-5) when fine-tuning a restored
+                                # checkpoint: on resume the KL starts tiny,
+                                # the adaptive rule balloons the LR to the
+                                # ceiling, and a converged policy gets
+                                # destroyed before KL pressure reins it in
+                                # (measured: the round-4 goalie
+                                # continuation collapsed ep_reward +997 ->
+                                # -1643 within 16k iters this way).
     kl_threshold: float = 0.008
     e_clip: float = 0.2
     horizon: int = 32
@@ -270,7 +279,7 @@ def make_ppo(task: BezTask, num_envs: int, cfg: PPOConfig = PPOConfig(),
             # Adaptive LR (rl-games AdaptiveScheduler).
             lr = jnp.where(kl > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
             lr = jnp.where(kl < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
-            lr = jnp.clip(lr, 1e-6, 1e-2)
+            lr = jnp.clip(lr, 1e-6, cfg.lr_max)
             updates, opt_state2 = tx.update(grads, opt_state, params)
             updates = jax.tree.map(lambda u: -lr * u, updates)
             params = optax.apply_updates(params, updates)

@@ -243,7 +243,7 @@ def make_ppo_rnn(task: BezTask, num_envs: int, cfg: PPOConfig,
             kl = _pmean(aux[3])
             lr = jnp.where(kl > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
             lr = jnp.where(kl < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
-            lr = jnp.clip(lr, 1e-6, 1e-2)
+            lr = jnp.clip(lr, 1e-6, cfg.lr_max)
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = jax.tree.map(lambda u: -lr * u, updates)
             params = optax.apply_updates(params, updates)
