@@ -29,13 +29,31 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def _rollout(task, checkpoint: str, num_envs: int, steps: int, seed: int,
-             on_step):
-    """Shared closed-loop policy loop; `on_step(t, out, live)` accumulates."""
-    from bez_isaacgym_tpu.rl.players import PpoPlayerContinuous
+             on_step, rnn_units: int = 0, seq_len: int = 4):
+    """Shared closed-loop policy loop; `on_step(t, out, live)` accumulates.
 
-    player = PpoPlayerContinuous(task, checkpoint_path=checkpoint)
-    act = jax.jit(lambda ts, o: player._act(ts, o, jax.random.PRNGKey(0),
-                                            True))
+    rnn_units > 0 evaluates a recurrent (LSTM) checkpoint: the per-env
+    carry is threaded through the loop (runner.play's recurrent path)."""
+    carry = None
+    if rnn_units > 0:
+        from bez_isaacgym_tpu.rl.ppo import PPOConfig
+        from bez_isaacgym_tpu.rl.ppo_rnn import make_ppo_rnn
+        from bez_isaacgym_tpu.utils import checkpoint as ckpt
+
+        cfg = PPOConfig(rnn_units=rnn_units, seq_len=seq_len,
+                        horizon=seq_len)
+        init_fn, _, act_fn, initial_carry = make_ppo_rnn(task, num_envs, cfg)
+        train_state = ckpt.restore(checkpoint,
+                                   init_fn(jax.random.PRNGKey(0)))
+        carry = initial_carry(num_envs)
+        act = jax.jit(lambda ts, o, c: act_fn(ts, o, c, deterministic=True))
+    else:
+        from bez_isaacgym_tpu.rl.players import PpoPlayerContinuous
+
+        player = PpoPlayerContinuous(task, checkpoint_path=checkpoint)
+        train_state = player.train_state
+        act = jax.jit(lambda ts, o: player._act(
+            ts, o, jax.random.PRNGKey(0), True))
     step = jax.jit(task.step_batch)
     keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
     state = jax.jit(jax.vmap(task.reset_one))(keys)
@@ -44,12 +62,20 @@ def _rollout(task, checkpoint: str, num_envs: int, steps: int, seed: int,
 
     finished = np.zeros(num_envs, bool)
     for t in range(steps):
-        actions = act(player.train_state, obs)
+        if carry is not None:
+            actions, carry = act(train_state, obs, carry)
+        else:
+            actions = act(train_state, obs)
         out = step(state, actions)
         live = ~finished
         on_step(t, out, live)
         finished |= np.asarray(out.done)
         state, obs = out.state, out.obs
+        if carry is not None:
+            # RNN-state reset on done (reference play.py:196-199).
+            done = out.done
+            carry = jax.tree.map(
+                lambda c: jnp.where(done[:, None], 0.0, c), carry)
         if finished.all():
             break
     return state
@@ -141,7 +167,9 @@ def eval_orient(checkpoint: str, num_envs: int = 64, steps: int = 600,
 
 
 def eval_walk(checkpoint: str, num_envs: int = 64, steps: int = 600,
-              seed: int = 0):
+              seed: int = 0, goal_range: float = 2.0,
+              goal_range_min: float = 0.0, rnn_units: int = 0,
+              seq_len: int = 4):
     """Goal-reach stats for the walk task (goal uniform in [-2,2]^2).
 
     win        = the task's own 4-condition win state fired (near goal +
@@ -149,9 +177,11 @@ def eval_walk(checkpoint: str, num_envs: int = 64, steps: int = 600,
     reached    = closest approach to the goal < 0.25 m
     final_dist = distance to goal when the episode ended
     """
-    from bez_isaacgym_tpu.tasks.walk import WalkTask
+    from bez_isaacgym_tpu.tasks.walk import WalkTask, walk_config
+    import dataclasses
 
-    task = WalkTask()
+    task = WalkTask(dataclasses.replace(walk_config(), goal_range=goal_range,
+                                        goal_range_min=goal_range_min))
     min_dist = np.full(num_envs, np.inf)
     final_dist = np.full(num_envs, np.nan)
     final_height = np.full(num_envs, np.nan)
@@ -182,7 +212,8 @@ def eval_walk(checkpoint: str, num_envs: int = 64, steps: int = 600,
         final_height[d] = height[d]
         fell[d & (height < 0.275)] = True
 
-    _rollout(task, checkpoint, num_envs, steps, seed, on_step)
+    _rollout(task, checkpoint, num_envs, steps, seed, on_step,
+             rnn_units=rnn_units, seq_len=seq_len)
     ok = ~np.isnan(final_dist)
     return {
         "num_envs": num_envs,
@@ -210,13 +241,22 @@ if __name__ == "__main__":
     ap.add_argument("--num-envs", type=int, default=64)
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--goal-range", type=float, default=2.0,
+                    help="walk only: goal box half-width (2.0 = reference)")
+    ap.add_argument("--goal-range-min", type=float, default=0.0)
+    ap.add_argument("--rnn-units", type=int, default=0,
+                    help=">0: evaluate a recurrent (LSTM) checkpoint")
+    ap.add_argument("--seq-len", type=int, default=4)
     args = ap.parse_args()
     if args.task == "goalie":
         res = eval_goalie(args.checkpoint, args.num_envs,
                           args.steps or 1500, args.seed)
     elif args.task == "walk":
         res = eval_walk(args.checkpoint, args.num_envs,
-                        args.steps or 600, args.seed)
+                        args.steps or 600, args.seed,
+                        goal_range=args.goal_range,
+                        goal_range_min=args.goal_range_min,
+                        rnn_units=args.rnn_units, seq_len=args.seq_len)
     else:
         res = eval_orient(args.checkpoint, args.num_envs,
                           args.steps or 600, args.seed)

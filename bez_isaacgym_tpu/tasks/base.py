@@ -62,6 +62,25 @@ class TaskConfig:
                                           # (walk_env.py:570-574 samples
                                           # uniform in [-2,2]^2); smaller
                                           # values = curriculum stage
+    goal_range_min: float = 0.0           # >0: sample goals in a RING
+                                          # r in [min, goal_range] instead
+                                          # of the box — curriculum stage
+                                          # that avoids the near-origin
+                                          # stray trap (a goal inside the
+                                          # spawn-noise radius makes the
+                                          # heading check fire at reset)
+    win_shaping: float = 0.0              # TRAINING-ONLY dense proximity
+                                          # bonus: + win_shaping *
+                                          # exp(-(dist/0.1)^2) per step,
+                                          # making approach-and-stay
+                                          # locally optimal so the win
+                                          # state is discoverable (the
+                                          # reference reward pays 10x
+                                          # velocity and -100 for the
+                                          # near-goal heading flip, so
+                                          # sprint-through strictly beats
+                                          # precision stopping).  MUST be
+                                          # 0 for evaluation (the default).
     goal_angle: float = 1.5708            # bez_orient.yaml:26
     reset_dof_pos_noise: float = 0.15     # kick_env.py:786
     reset_dof_vel_noise: float = 0.1      # kick_env.py:787

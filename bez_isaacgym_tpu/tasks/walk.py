@@ -31,8 +31,17 @@ class WalkTask(BezTask):
         super().__init__(cfg or walk_config())
 
     def task_reset(self, state: EnvState, key) -> EnvState:
-        r = self.cfg.goal_range
-        goal = jax.random.uniform(key, (2,), jnp.float32, -r, r)
+        cfg = self.cfg
+        if cfg.goal_range_min > 0.0:
+            k_r, k_th = jax.random.split(key)
+            r = jax.random.uniform(k_r, (), jnp.float32,
+                                   cfg.goal_range_min, cfg.goal_range)
+            th = jax.random.uniform(k_th, (), jnp.float32,
+                                    -jnp.pi, jnp.pi)
+            goal = r * jnp.stack([jnp.cos(th), jnp.sin(th)])
+        else:
+            goal = jax.random.uniform(key, (2,), jnp.float32,
+                                      -cfg.goal_range, cfg.goal_range)
         return state._replace(goal=goal)
 
     def observe(self, state: EnvState, action):
@@ -73,6 +82,27 @@ class WalkTask(BezTask):
         vel_height = (10.0 * velocity_forward
                       - (distance_to_height + 0.25 * pos_reward))
         reward = jnp.where(to_goal_norm < 0.05, height_vel_pos, vel_height)
+        if cfg.win_shaping:
+            # TRAINING-ONLY shaping toward the win predicate (see
+            # TaskConfig.win_shaping): proximity kernel sized to the 5 cm
+            # win radius, doubled when the robot is also still and near
+            # the default pose (the other three win conditions) — W2
+            # measured policies loitering at 8-9 cm without ever closing,
+            # so the kernel must keep a gradient INSIDE 10 cm.  The whole
+            # bonus is gated on uprightness: the round-4 LSTM stage
+            # reached 3.5 cm by DIVING onto the goal (fall 70%) because
+            # proximity paid regardless of posture.
+            upright = jnp.clip((up_proj - 0.7) / 0.25, 0.0, 1.0)
+            prox = jnp.exp(-(to_goal_norm / 0.08) ** 2)
+            # Wide stillness kernels: the measured closest-approach state
+            # is mid-gait (pos_err ~2.3 rad, spin ~1.9 rad/s), so kernels
+            # at the win thresholds (0.15/0.1) are flat-zero there — these
+            # scales keep a usable gradient from the gait toward the
+            # freeze-in-ready-pose the win demands.
+            still = jnp.exp(-(vel_lin / 0.3) ** 2 - (vel_ang / 1.0) ** 2
+                            - (pos_reward / 1.0) ** 2)
+            reward = reward + cfg.win_shaping * upright * prox * \
+                (0.5 + 2.0 * still)
 
         done = state.done & False
         # Fall (walk_env.py:938-939).

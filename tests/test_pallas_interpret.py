@@ -10,12 +10,14 @@ codegen must be covered by the default CPU invocation, not only the 3-body
 chain):
 - the tiny chain exercises the codegen paths (FK recursion, PD actuation,
   plane contacts, integration) in seconds at substeps=2/B=8;
-- the full 21-body Bez + ball runs at substeps=1/B=2/2 steps, which
-  bounds the unrolled-kernel trace+compile at ~1 min cold (measured 63 s
-  for the interpret compile; the persistent compile cache in conftest
-  makes warm reruns take seconds).  The round-3 ">10 min" cost came from
-  substeps=2 x B=8 x 3 chained dispatches compiled cache-cold.
-The substeps=2 full-Bez variant stays as a `slow`-marked test.
+- the LEGS-ONLY Bez submodel (the real Bez legs: 13 bodies / 12 DOF pruned
+  from load_bez_model("stl"), plus the ball) covers the production
+  topology's contact-rich half — leg boxes, foot cleat points, ball-robot
+  contacts — at a fraction of the 21-body unroll's trace+compile cost
+  (the full-Bez interpret trace through XLA:CPU is pathologically slow in
+  this image: >15 min cache-cold).
+Full-Bez parity (substeps=1 and the production substeps=2) stays as
+`slow`-marked tests.
 """
 
 import jax
@@ -114,10 +116,66 @@ def test_interpret_matches_xla_engine_chain():
     assert float(jnp.abs(out.base_pos[:, 2] - 0.252).max()) < 0.02
 
 
+def legs_only_model(model: RobotModel) -> RobotModel:
+    """Prune Bez to torso + both legs (13 bodies / 12 DOF).
+
+    Body k (k>=1) is driven by DOF k-1 (models/robot.py design note), so
+    pruning bodies prunes DOFs consistently.  All contact points and
+    collision boxes live on leg bodies, so the contact-rich codegen is
+    fully preserved."""
+    import dataclasses
+
+    keep = [i for i, n in enumerate(model.body_names)
+            if not any(s in n for s in ("neck", "head", "bicep", "forearm"))]
+    new_idx = {old: new for new, old in enumerate(keep)}
+    dof_keep = [b - 1 for b in keep[1:]]
+    assert all(b in new_idx for b in model.cpoint_body), "cpoints on legs"
+    sites = {k: dataclasses.replace(s, body=new_idx[s.body])
+             for k, s in model.sites.items() if s.body in new_idx}
+    return RobotModel(
+        name=model.name + "_legs", nb=len(keep), nq=len(dof_keep),
+        parent=np.array([-1] + [new_idx[model.parent[b]] for b in keep[1:]]),
+        tree_pos=model.tree_pos[keep], tree_rot=model.tree_rot[keep],
+        axis=model.axis[dof_keep],
+        mass=model.mass[keep], com=model.com[keep],
+        inertia=model.inertia[keep],
+        dof_lower=model.dof_lower[dof_keep],
+        dof_upper=model.dof_upper[dof_keep],
+        dof_effort=model.dof_effort[dof_keep],
+        dof_velocity=model.dof_velocity[dof_keep],
+        joint_names=[model.joint_names[k] for k in dof_keep],
+        body_names=[model.body_names[b] for b in keep],
+        sites=sites,
+        cpoint_pos=model.cpoint_pos,
+        cpoint_body=np.array([new_idx[b] for b in model.cpoint_body]),
+        cpoint_sensor=model.cpoint_sensor,
+        box_body=np.array([new_idx[b] for b in model.box_body]),
+        box_pos=model.box_pos, box_rot=model.box_rot,
+        box_half=model.box_half,
+    )
+
+
+def test_interpret_matches_xla_engine_bez_legs():
+    """Legs-only Bez submodel + ball interpret parity in the DEFAULT suite
+    (module docstring): the real leg topology, boxes, cleat points, and
+    ball-robot contact codegen at an affordable unroll size."""
+    full = load_bez_model("stl")
+    model = legs_only_model(full)
+    assert model.nb == 13 and model.nq == 12
+    cfg = SceneConfig(substeps=1)
+    q_full = pose_vector(full, READY_JOINT_ANGLES)
+    dof_keep = [b - 1 for b in range(1, full.nb)
+                if not any(s in full.body_names[b]
+                           for s in ("neck", "head", "bicep", "forearm"))]
+    q0 = jnp.asarray(q_full[dof_keep], F32)
+    _parity_case(model, cfg, B=2, q0=q0, base_pos=(0, 0, 0.34), atol=5e-3,
+                 n_steps=2)
+
+
+@pytest.mark.slow
 def test_interpret_matches_xla_engine_bez():
-    """Full-Bez (21 bodies + ball) interpret parity in the DEFAULT suite:
-    the production kernel topology, sized so the unrolled trace+compile
-    stays around a minute cold and seconds cache-warm (module docstring)."""
+    """Full-Bez (21 bodies + ball) interpret parity (slow: the unrolled
+    trace through XLA:CPU takes >15 min cache-cold in this image)."""
     model = load_bez_model("stl")
     cfg = SceneConfig(substeps=1)
     q0 = jnp.asarray(pose_vector(model, READY_JOINT_ANGLES), F32)
