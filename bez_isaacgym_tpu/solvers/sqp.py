@@ -61,19 +61,27 @@ class SQPConfig:
                                    # default.
     linearize: str = "struct"      # "struct" (default): structured
                                    # forward-mode Jacobian — per-substep
-                                   # jax.linearize with the SPD solve
-                                   # carrying a custom JVP that REUSES the
-                                   # primal Cholesky factor
-                                   # (ops/linalg.py:solve_spd_shared_factor,
-                                   # dx = H^-1(db - dH x)), chained across
-                                   # substeps by matmul composition inside
-                                   # a scan.  One primal + 76 cheap tangent
-                                   # substitutions per substep instead of
-                                   # the round-3 default's 152 full primal
-                                   # step evals (central differences) or
-                                   # the round-2 jacfwd's per-tangent
-                                   # refactorization; the substep JVP is
-                                   # traced once (compile-time lever).
+                                   # jax.linearize over the 58 STATE
+                                   # tangents only (the SPD solve carries a
+                                   # custom JVP that REUSES the primal
+                                   # Cholesky factor,
+                                   # ops/linalg.py:solve_spd_shared_factor,
+                                   # dx = H^-1(db - dH x)), plus a
+                                   # CLOSED-FORM control column: u enters
+                                   # the substep ONLY through the Stable-PD
+                                   # torque (ops/engine.py:201-206), so
+                                   # B_sub = d(integrate)/d(udot) .
+                                   #         H^-1 S diag(kp . clip masks)
+                                   # — 18 triangular substitutions against
+                                   # the SAME primal factor and a cheap
+                                   # integrate JVP; no FK/contact/dH work
+                                   # for the control tangents (round-5;
+                                   # round 4 pushed all 76 (x,u) tangents
+                                   # through the full substep JVP).
+                                   # Substep Jacobians are chained by
+                                   # matmul composition inside a scan.
+                                   # "struct_z": the round-4 form (all
+                                   # NX+nu tangents through one linearize).
                                    # "jacfwd": one fused jacfwd over the
                                    # whole step (autodiff oracle).
                                    # "fd": central-difference oracle —
@@ -94,6 +102,20 @@ class SQPConfig:
                                    # same stability shaping that fixed the
                                    # MPPI kick's fall rate, available to
                                    # the gradient stage.
+    relinearize_every: int = 1     # k > 1: frozen-Jacobian (inexact)
+                                   # Gauss-Newton — iterations whose index
+                                   # is not a multiple of k REUSE the last
+                                   # dynamics linearization and only redo
+                                   # the (cheap, physics-free) cost
+                                   # quadraticization + backward/forward
+                                   # passes.  The line search scores the
+                                   # TRUE rollout cost, so descent is exact
+                                   # regardless of Jacobian staleness; near
+                                   # the solution the nominal moves little
+                                   # and the stale A,B stay accurate.  This
+                                   # is the lever that brings 2-iteration
+                                   # solves inside the 10 ms budget
+                                   # (docs/STATUS.md round-4 gap #2).
 
 
 class SQPState(NamedTuple):
@@ -119,7 +141,10 @@ class SQPSolver:
         self.n_sub = task.scene.substeps
         sub_scene = dataclasses.replace(
             task.scene, dt=task.scene.dt / self.n_sub, substeps=1)
+        self._sub_scene = sub_scene
         self._substep_fn = make_step_fn(task.model, sub_scene)
+        from bez_isaacgym_tpu.ops import kinematics as _kin
+        self._kin_mask = _kin.ancestor_mask(task.model)
 
     def init_state(self) -> SQPState:
         return SQPState(nominal=jnp.zeros((self.cfg.horizon, self.nu), F32))
@@ -171,13 +196,88 @@ class SQPSolver:
 
         if cfg.linearize == "struct":
             # Chain-rule composition of per-substep Jacobians inside a
-            # scan: J_0 = [I | 0]; J_{k+1} = A_k J_k + [0 | B_k], where
-            # (A_k | B_k) comes from ONE jax.linearize of the substep
-            # (primal shared across the 76 basis tangents; the SPD solve
+            # scan: J_0 = [I | 0]; J_{k+1} = A_k J_k + [0 | B_k].
+            # A_k: ONE jax.linearize of the substep w.r.t. the 58 STATE
+            # coordinates (primal shared across tangents; the SPD solve
             # tangent reuses the primal Cholesky factor via
-            # ops.linalg.solve_spd_shared_factor).  The substep JVP is
-            # traced once regardless of the substep count, and the
-            # composition is two MXU matmuls.
+            # ops.linalg.solve_spd_shared_factor).  B_k: closed-form — the
+            # control enters only the Stable-PD torque
+            # (ops/engine.py:201-206), so dtau/du is a masked diagonal and
+            # B_k = d(integrate)/d(udot) . H^-1 S diag(kp . masks): 18
+            # substitutions against the SAME factor, no FK/contact/dH
+            # tangent work.  Parity with jacfwd/fd is pinned by
+            # tests/test_solvers.py.
+            import numpy as np
+
+            from bez_isaacgym_tpu.ops import engine
+            from bez_isaacgym_tpu.ops.linalg import (cholesky_factor_unrolled,
+                                                     cholesky_substitute)
+
+            task = self.task
+            model, sub_scene = task.model, self._sub_scene
+            kmask = self._kin_mask
+            dyn_params = env_state.dyn
+            h = sub_scene.dt
+            nv = 6 + model.nq
+            perm = np.concatenate([np.arange(6, nv), np.arange(6)])
+            iperm = np.argsort(perm)
+            eye_x = jnp.eye(NX, dtype=F32)
+            J0 = jnp.concatenate(
+                [eye_x, jnp.zeros((NX, self.nu), F32)], axis=1)  # [I|0]
+            targets = self._targets(u)
+
+            def substep_ext(xx):
+                """The substep (engine._substep semantics) returning the
+                primal pieces the control column needs."""
+                from bez_isaacgym_tpu.ops.linalg import \
+                    solve_spd_shared_factor
+
+                ph = unflatten_physics(xx, env_state.physics)
+                H_eff, tau, aux = engine._prepare(
+                    model, sub_scene, kmask, dyn_params, ph, targets, h)
+                Hs = 0.5 * (H_eff + H_eff.T)
+                Hp = Hs[perm][:, perm]
+                udot = solve_spd_shared_factor(Hp, tau[perm])[iperm]
+                ph2 = engine._integrate(model, sub_scene, dyn_params, ph,
+                                        udot, aux, h)
+                return flatten_physics(ph2), (Hp, udot, aux, ph)
+
+            def body(carry, _):
+                x_k, J = carry
+                (y, (Hp, udot, aux, ph)), jvp = jax.linearize(
+                    substep_ext, x_k)
+                A_k = jax.vmap(lambda e: jvp(e)[0])(eye_x).T   # (NX, NX)
+
+                # Control column.  dtau_pd/du = kp on the unclipped set:
+                # |u| < u_clip (head rows zeroed, _targets), targets inside
+                # the DOF limits, |tau_pd| < effort (ops/engine.py:201-202).
+                kp = jnp.asarray(dyn_params.kp, F32)
+                kd = jnp.asarray(dyn_params.kd, F32)
+                effort = jnp.asarray(dyn_params.effort, F32)
+                tau_pd = kp * (targets - ph.q) - (h * kp + kd) * ph.qd
+                m = ((jnp.abs(u) < cfg.u_clip)
+                     & (targets > task.dof_lower) & (targets < task.dof_upper)
+                     & (jnp.abs(tau_pd) < effort)).astype(F32)
+                m = m.at[0:2].set(0.0)                    # head zeroed
+                dtau = jnp.zeros((nv, self.nu), F32).at[6:, :].set(
+                    jnp.diag(kp * m))
+                L, inv_diag = cholesky_factor_unrolled(Hp)
+                dudot = jax.vmap(
+                    lambda col: cholesky_substitute(L, inv_diag, col),
+                    in_axes=1, out_axes=1)(dtau[perm])[iperm]  # (nv, nu)
+                _, int_jvp = jax.linearize(
+                    lambda ud: flatten_physics(engine._integrate(
+                        model, sub_scene, dyn_params, ph, ud, aux, h)),
+                    udot)
+                B_k = jax.vmap(int_jvp, in_axes=1, out_axes=1)(dudot)
+
+                J_new = A_k @ J
+                J_new = J_new.at[:, NX:].add(B_k)
+                return (y, J_new), None
+
+            (_, J), _ = jax.lax.scan(body, (x, J0), None, length=self.n_sub)
+        elif cfg.linearize == "struct_z":
+            # Round-4 form: all NX+nu tangents through one substep JVP.
             eye_z = jnp.eye(nz, dtype=F32)
             J0 = eye_z[:NX]                                # (NX, nz) = [I|0]
 
@@ -231,43 +331,43 @@ class SQPSolver:
             _, (xs, costs) = jax.lax.scan(body, x0, U)
             return xs, costs.sum()
 
-        def one_iteration(carry, _):
-            # The nominal trajectory xs and its raw cost ride the carry:
-            # the accepted line-search candidate IS the next nominal, so
-            # only the FIRST iteration pays a dedicated rollout (round-3
-            # re-rolled the nominal every iteration — 35 ms of the 476 ms
-            # per-iteration profile).
-            U, xs, base_cost = carry
+        def lin_dyn(xs, U):
+            """Dynamics Jacobians along the nominal (the expensive half;
+            struct/jacfwd/fd per linearize_dynamics)."""
+            return jax.vmap(
+                lambda xx, uu: self.linearize_dynamics(env_state, xx, uu)
+            )(xs, U)
 
-            # Linearize dynamics + quadraticize cost along the nominal.
-            # The cost gradient is always autodiff (no physics inside
-            # _cost); the dynamics Jacobian is the structured forward-mode
-            # path or the FD oracle (see linearize_dynamics).
-            def lin(x, u, u_ws):
+        def cost_grads(xs, U):
+            """Cost quadraticization — always autodiff, no physics inside
+            _cost, so this is cheap and is redone EVERY iteration (also on
+            frozen-Jacobian ones, relinearize_every > 1)."""
+            def g(x, u, u_ws):
                 z = jnp.concatenate([x, u])
-                g = jax.grad(
+                gz = jax.grad(
                     lambda zz: self._cost(env_state, zz[:NX], zz[NX:]))(z)
-                A, B = self.linearize_dynamics(env_state, x, u)
                 # Trust-region tether gradient (quadratic term is folded
                 # into the backward pass's LM regularizer below).
-                return A, B, g[:NX], g[NX:] + cfg.warm_reg * (u - u_ws)
+                return gz[:NX], gz[NX:] + cfg.warm_reg * (u - u_ws)
 
-            A, Bm, cx, cu = jax.vmap(lin)(xs, U, U_ws)
+            return jax.vmap(g)(xs, U, U_ws)
 
-            # Riccati backward pass (Gauss-Newton: value Hessian from the
-            # LM-regularized linear model).  The parallel variant evaluates
-            # the same recursion in O(log H) depth via associative scan
-            # (solvers/riccati.py; SURVEY.md §7 hard part 3) — worth it for
-            # large solve batches; at S<=16 the sequential scan measures
-            # 2.2x faster (30 vs 67 ms, round-4 profile).
+        def bf_pass(U, xs, base_cost, A, Bm, cx, cu):
+            """Riccati backward + line-searched forward pass.
+
+            Backward (Gauss-Newton: value Hessian from the LM-regularized
+            linear model): the parallel variant evaluates the same
+            recursion in O(log H) depth via associative scan
+            (solvers/riccati.py; SURVEY.md §7 hard part 3) — worth it for
+            large solve batches; at S<=16 the sequential scan measures
+            2.2x faster (30 vs 67 ms, round-4 profile).  warm_reg joins the
+            LM regularizer; the line search scores the TRUE tethered cost,
+            so descent is exact (also under stale A,B from
+            relinearize_every > 1)."""
             from bez_isaacgym_tpu.solvers.riccati import (parallel_backward,
                                                           sequential_backward)
             backward = (parallel_backward if cfg.parallel_riccati
                         else sequential_backward)
-            # warm_reg joins the LM regularizer (the backward pass uses one
-            # shared state+control quadratic; the extra state damping is
-            # benign, and the line search below scores the TRUE tethered
-            # cost, so descent is exact).
             ks, Ks = backward(A, Bm, cx, cu, cfg.reg + cfg.warm_reg)
 
             # Forward pass with feedback, line-searched over alpha.  Each
@@ -293,13 +393,38 @@ class SQPSolver:
             U_new = jnp.where(improved, cand_U[best], U)
             xs_new = jnp.where(improved, cand_xs[best], xs)
             cost_new = jnp.where(improved, cand_raw[best], base_cost)
-            return (U_new, xs_new, cost_new), \
-                jnp.where(improved, cand_c[best], base_c)
+            return (U_new, xs_new, cost_new,
+                    jnp.where(improved, cand_c[best], base_c))
 
+        # The nominal trajectory xs and its raw cost ride across
+        # iterations: the accepted line-search candidate IS the next
+        # nominal, so only the FIRST iteration pays a dedicated rollout
+        # (round-3 re-rolled the nominal every iteration — 35 ms of the
+        # 476 ms per-iteration profile).
         xs0, cost0 = rollout(U)
-        (U_final, _, _), costs = jax.lax.scan(one_iteration, (U, xs0, cost0),
-                                              None, length=cfg.iterations)
-        return U_final, costs[-1]
+        if cfg.relinearize_every == 1:
+            def one_iteration(carry, _):
+                U, xs, base_cost = carry
+                A, Bm = lin_dyn(xs, U)
+                cx, cu = cost_grads(xs, U)
+                U2, xs2, c2, tc = bf_pass(U, xs, base_cost, A, Bm, cx, cu)
+                return (U2, xs2, c2), tc
+
+            (U_final, _, _), costs = jax.lax.scan(
+                one_iteration, (U, xs0, cost0), None, length=cfg.iterations)
+            return U_final, costs[-1]
+
+        # Frozen-Jacobian (inexact) Gauss-Newton: unrolled so the
+        # relinearize pattern is static — linearize is traced only for the
+        # iterations that actually relinearize.
+        U_c, xs_c, cost_c, tc = U, xs0, cost0, cost0
+        A = Bm = None
+        for k in range(cfg.iterations):
+            if k % cfg.relinearize_every == 0:
+                A, Bm = lin_dyn(xs_c, U_c)
+            cx, cu = cost_grads(xs_c, U_c)
+            U_c, xs_c, cost_c, tc = bf_pass(U_c, xs_c, cost_c, A, Bm, cx, cu)
+        return U_c, tc
 
     def solve(self, env_states: EnvState, sqp_states: SQPState, key=None):
         """Batched solve over S parallel problems (vmap of _solve_one)."""
