@@ -217,6 +217,9 @@ def eval_walk(checkpoint: str, num_envs: int = 64, steps: int = 600,
     ok = ~np.isnan(final_dist)
     return {
         "num_envs": num_envs,
+        "goal_range": goal_range,
+        "goal_range_min": goal_range_min,
+        "rnn_units": rnn_units,
         "episodes_finished": int(ok.sum()),
         "win_rate": float(won.mean()),
         "reach_rate_0.25m": float((min_dist < 0.25).mean()),
@@ -224,8 +227,9 @@ def eval_walk(checkpoint: str, num_envs: int = 64, steps: int = 600,
         "mean_final_goal_dist_m": float(np.nanmean(final_dist)),
         "mean_final_height_m": float(np.nanmean(final_height)),
         "fall_rate": float(fell.mean()),
-        "note": "goal uniform in [-2,2]^2 (up to 2.8 m away in a 10 s "
-                "episode); win = the task's 4-condition win state "
+        "note": "goal uniform in the [-goal_range, goal_range]^2 box "
+                "(ring r in [goal_range_min, goal_range] when min > 0); "
+                "win = the task's 4-condition win state "
                 "(walk_env.py:943-965) recomputed from the post-step "
                 "state.",
     }
