@@ -172,6 +172,36 @@ def test_sqp_improves_bad_nominal(quad_task, qenv1):
     assert float(final_cost) < base
 
 
+def test_sqp_frozen_jacobian_iterations_descend(quad_task, qenv1):
+    """Frozen-Jacobian (inexact) Gauss-Newton (SQPConfig.relinearize_every):
+    the 2-iteration frozen solve must (a) strictly beat the initial nominal
+    (descent holds under stale A,B because the line search scores the TRUE
+    rollout cost), (b) never be worse than the 1-iteration solve, and
+    (c) land within 5% of the exact 2-iteration solve's cost improvement
+    (on the quadratic toy one full GN step is already near-optimal, so the
+    frozen second pass mostly confirms convergence)."""
+    env0 = jax.tree.map(lambda x: x[0], qenv1)
+    H = 4
+    U0 = jnp.zeros((H, quad_task.num_actions), F32)
+
+    def run(iterations, relin):
+        solver = SQPSolver(quad_task, SQPConfig(
+            horizon=H, iterations=iterations, relinearize_every=relin))
+        _, cost = jax.jit(solver._solve_one)(env0, U0)
+        return float(cost)
+
+    solver = SQPSolver(quad_task, SQPConfig(horizon=H))
+    base = float(jax.jit(solver._rollout_cost)(env0, U0))
+    c1 = run(1, 1)
+    c2_frozen = run(2, 2)
+    c2_exact = run(2, 1)
+    assert c2_frozen < base          # (a) strict descent from the nominal
+    assert c2_frozen <= c1 + 1e-6    # (b) the frozen pass never regresses
+    gain_exact = base - c2_exact
+    gain_frozen = base - c2_frozen
+    assert gain_frozen >= 0.95 * gain_exact - 1e-6   # (c)
+
+
 def test_sqp_warm_reg_tethers_to_warm_start(quad_task, qenv1):
     """Trust-region tether (sqp.py warm_reg): with a huge tether the solve
     must stay at the warm start; with a moderate one it must move less
