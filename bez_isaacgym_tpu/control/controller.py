@@ -103,33 +103,21 @@ def feedforward_targets(times: np.ndarray, angles: np.ndarray,
     return angles + lead * qd
 
 
-def id_feedforward_targets(task, times: np.ndarray, angles: np.ndarray,
-                           include_bias: bool = True) -> np.ndarray:
-    """Computed-torque feedforward via the engine's own inverse dynamics.
+def make_tau_fn(task, include_bias: bool = True):
+    """Jittable inverse-dynamics torque along a desired trajectory point.
 
-    Required joint torque along the desired trajectory (base assumed
-    stationary, qdd from finite differences):
+    Returns tau_of(q, qd, qdd) -> (18,) required joint torque with the base
+    assumed stationary:
         tau_req = (H(q_des) @ [0, qdd_des] + bias(q_des, qd_des))[6:]
-    Commanding
-        target = q_des + ((h*kp + kd)*qd_des + tau_req) / kp
-    turns the engine's Stable-PD (ops/engine.py:190-192) into a full
-    computed-torque controller:
-        tau = kp*(q_des - q) + (h*kp + kd)*(qd_des - qd) + tau_req.
-    This is the VERDICT-prescribed fix for the PD-lag-dominated tracking
-    error (docs/STATUS.md round-1 gap #1).
+    Shared by `id_feedforward_targets` (single plan) and the batched
+    multi-plan feedforward in eval/walk_standalone.py.
     """
-    import jax
     import jax.numpy as jnp
 
     from bez_isaacgym_tpu.ops import dynamics as dyn
     from bez_isaacgym_tpu.ops import kinematics as kin
 
     model, params = task.model, task.base_params
-    kp = np.asarray(params.kp)
-    kd = np.asarray(params.kd)
-    h = task.cfg.dt / task.cfg.substeps
-    qd = np.gradient(angles, times, axis=0)
-    qdd = np.gradient(qd, times, axis=0)
     mask = kin.ancestor_mask(model)
     base_pos = jnp.asarray(task.cfg.bez_init_pos, jnp.float32)
     base_quat = jnp.asarray(task.cfg.bez_init_rot, jnp.float32)
@@ -152,6 +140,34 @@ def id_feedforward_targets(task, times: np.ndarray, angles: np.ndarray,
             tau = tau + bias[6:]
         return tau
 
+    return tau_of
+
+
+def id_feedforward_targets(task, times: np.ndarray, angles: np.ndarray,
+                           include_bias: bool = True) -> np.ndarray:
+    """Computed-torque feedforward via the engine's own inverse dynamics.
+
+    Required joint torque along the desired trajectory (base assumed
+    stationary, qdd from finite differences):
+        tau_req = (H(q_des) @ [0, qdd_des] + bias(q_des, qd_des))[6:]
+    Commanding
+        target = q_des + ((h*kp + kd)*qd_des + tau_req) / kp
+    turns the engine's Stable-PD (ops/engine.py:190-192) into a full
+    computed-torque controller:
+        tau = kp*(q_des - q) + (h*kp + kd)*(qd_des - qd) + tau_req.
+    This is the VERDICT-prescribed fix for the PD-lag-dominated tracking
+    error (docs/STATUS.md round-1 gap #1).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = task.base_params
+    kp = np.asarray(params.kp)
+    kd = np.asarray(params.kd)
+    h = task.cfg.dt / task.cfg.substeps
+    qd = np.gradient(angles, times, axis=0)
+    qdd = np.gradient(qd, times, axis=0)
+    tau_of = make_tau_fn(task, include_bias)
     tau_req = np.asarray(jax.jit(jax.vmap(tau_of))(
         jnp.asarray(angles, jnp.float32), jnp.asarray(qd, jnp.float32),
         jnp.asarray(qdd, jnp.float32)))

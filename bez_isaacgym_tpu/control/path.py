@@ -57,7 +57,12 @@ class Path:
         # Round the step size so steps divide the distance (path.py:55-69).
         s = self.linear_step_count()
         if self.distance != 0:
-            if self.distance % self.bodystep_size < self.bodystep_size / 2:
+            if s == 0:
+                # Paths shorter than half a body step: one step of the
+                # whole distance (the reference divides by zero here,
+                # path.py:55-69 — it never plans sub-2 cm walks).
+                self.bodystep_size = self.distance
+            elif self.distance % self.bodystep_size < self.bodystep_size / 2:
                 self.bodystep_size = self.distance / s
             else:
                 self.bodystep_size = self.distance / (s + 1)
